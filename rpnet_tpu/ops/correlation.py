@@ -1,0 +1,88 @@
+"""RAFT-style local correlation (the reference's memory hot spot, rebuilt).
+
+The reference (net/rp_net.py:153-181) computes the FULL all-pairs correlation
+``matmul(fm1ᵀ, fm2)/√C`` — an (H'W')×(H'W') matrix, 16.8M entries per slice at
+64² features — and then *bilinear-samples a (2r+1)² window centered at each
+pixel's own coordinate*. Because the sampling offsets are exact integers
+(torch.linspace(-r, r, 2r+1)) and the sampler uses zero padding, that whole
+construction is mathematically identical to a LOCAL correlation:
+
+    out[b, y, x, (dy,dx)] = <fm1[b,y,x,:], fm2[b,y+dy,x+dx,:]> / sqrt(C)
+
+with zeros outside the image. So we never materialize the quadratic matrix:
+121 shifted dot-products over C cost ~34× fewer FLOPs and O(H·W·(2r+1)²)
+memory instead of O((H·W)²). ``correlation_exact`` keeps the reference's
+full-matrix + window-sampling formulation for parity tests on tiny shapes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rpnet_tpu.ops.sampling import grid_sample
+
+
+def local_correlation(fm1, fm2, r: int):
+    """Local correlation volume.
+
+    fm1, fm2: (N, H, W, C) channels-last feature maps.
+    returns:  (N, H, W, (2r+1)²).
+
+    Channel ordering quirk preserved from the reference: net/rp_net.py:171
+    builds ``delta = meshgrid(dy, dx)`` but ``bilinear_sampler`` (rp_net.py:139)
+    splits coords as (x, y) — so the first meshgrid axis lands on the
+    HORIZONTAL shift. Channel c = i*(2r+1)+j therefore corresponds to spatial
+    shift (dx = i-r, dy = j-r), i.e. the horizontal displacement varies
+    slowest. Checkpoint conversion of the downstream 1×1 conv depends on this.
+    """
+    N, H, W, C = fm1.shape
+    scale = 1.0 / np.sqrt(float(C))
+    d = 2 * r + 1
+    fm2_pad = jnp.pad(fm2, ((0, 0), (r, r), (r, r), (0, 0)))
+    outs = []
+    for dx in range(d):        # horizontal shift — slow axis (reference quirk)
+        for dy in range(d):    # vertical shift — fast axis
+            shifted = lax_slice(fm2_pad, dy, dx, H, W)
+            outs.append(jnp.sum(fm1 * shifted, axis=-1))
+    out = jnp.stack(outs, axis=-1) * scale
+    return out
+
+
+def lax_slice(x_pad, dy, dx, H, W):
+    return x_pad[:, dy:dy + H, dx:dx + W, :]
+
+
+def correlation_exact(fm1, fm2, r: int):
+    """Reference formulation: full (H'W')² matrix + bilinear window sampling.
+
+    Bit-faithful port of net/rp_net.py:153-181 (including the float round-trip
+    through normalized coordinates). Only for tests/small shapes.
+    """
+    N, H, W, C = fm1.shape
+    a = fm1.reshape(N, H * W, C)
+    b = fm2.reshape(N, H * W, C)
+    corr = jnp.einsum("npc,nqc->npq", a, b, precision="highest") / jnp.sqrt(jnp.asarray(float(C)))
+    # (N*H*W, H, W, 1) "images", one per source pixel
+    corr_img = corr.reshape(N * H * W, H, W, 1)
+
+    ys, xs = jnp.meshgrid(jnp.arange(H, dtype=fm1.dtype),
+                          jnp.arange(W, dtype=fm1.dtype), indexing="ij")
+    centroid = jnp.stack([xs, ys], axis=-1).reshape(H * W, 1, 1, 2)
+    centroid = jnp.tile(centroid, (N, 1, 1, 1))  # (N*H*W, 1, 1, 2)
+
+    dxs = jnp.linspace(-r, r, 2 * r + 1, dtype=fm1.dtype)
+    dys = jnp.linspace(-r, r, 2 * r + 1, dtype=fm1.dtype)
+    # reference quirk: meshgrid(dy, dx) row-major, but component 0 is consumed
+    # as the x shift by the sampler — so the first axis shifts horizontally
+    g0, g1 = jnp.meshgrid(dys, dxs, indexing="ij")
+    delta = jnp.stack([g0, g1], axis=-1).reshape(1, 2 * r + 1, 2 * r + 1, 2)
+
+    coords = centroid + delta  # pixel coords, (x, y) last
+    # reference bilinear_sampler: normalize with (S-1), sample align_corners=True
+    norm = jnp.stack([2 * coords[..., 0] / (W - 1) - 1,
+                      2 * coords[..., 1] / (H - 1) - 1], axis=-1)
+    sampled = grid_sample(corr_img, norm, align_corners=True)
+    # (N*H*W, d, d, 1) → (N, H, W, d²)
+    return sampled.reshape(N, H, W, (2 * r + 1) ** 2)

@@ -1,0 +1,99 @@
+"""The registration stage of an episode, as ONE compiled program.
+
+Rebuild of `get_registration_field` (dataset/few_shot_reader.py:109-198): the
+reference spins up a fresh torch module + two Adam optimizers per query slice
+inside the data loader and runs 50 affine (+ optionally 50 demons) iterations
+on the GPU, slice by slice. Here the whole thing is a pure function per slice
+— affine fit → demons fit → warps + thresholds — vmapped over the slice axis
+and jit-compiled, so an entire episode's registration is a single XLA program
+(and shards across chips on the slice axis, SURVEY.md §5).
+
+Pipeline semantics preserved exactly:
+  * images enter in [-1, 1]; fitting happens in [0, 1] ((x+1)/2,
+    few_shot_reader.py:111-115);
+  * affine: 50 Adam steps, MSE (few_shot_reader.py:152-162);
+  * demons: diffeomorphic (scaling-and-squaring ×10), NCC loss, Gaussian σ=2
+    smoothing after every step; 0 iterations when do_deformable=False;
+  * warped label = demons∘affine applied to the label, thresholded > 0.1;
+    the "affine-only" label likewise (few_shot_reader.py:167-173);
+  * warped images are mapped back to [-1, 1] (few_shot_reader.py:190-195);
+  * even with zero demons iterations the label/image still pass through the
+    demons warp with zero flow (an extra resample through the reference's
+    mismatched-convention identity grid) — replicated for Dice parity.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rpnet_tpu.ops.sampling import compute_grid
+from rpnet_tpu.registration.affine import affine_warp, fit_affine
+from rpnet_tpu.registration.demons import demons_warp, fit_demons
+
+
+class RegistrationResult(NamedTuple):
+    """Per-slice registration outputs (leading axis = query slices)."""
+    theta: jnp.ndarray              # (S, 2, 3) fitted affine params
+    flow: jnp.ndarray               # (S, 2, H, W) fitted demons flow (raw param)
+    warped_label: jnp.ndarray       # (S, H, W) demons∘affine label > 0.1
+    affine_label: jnp.ndarray       # (S, H, W) affine-only label > 0.1
+    warped_src: jnp.ndarray         # (S, H, W) demons∘affine image, in [-1,1]
+    affine_src: jnp.ndarray         # (S, H, W) affine-only image, in [-1,1]
+    grid: jnp.ndarray               # (S, 2, H, W) normalized identity grid
+
+
+def register_slice(src, dst, src_label, *, affine_iters: int = 50,
+                   demons_iters: int = 0, lr: float = 0.01, sigma: float = 2.0,
+                   diffeo_scaling: int = 10):
+    """Register one support slice onto one query slice.
+
+    src, dst: (H, W) images in [-1, 1]; src_label: (H, W) binary.
+    """
+    H, W = src.shape
+    src01 = ((src + 1.0) * 0.5)[..., None]     # (H, W, 1)
+    dst01 = ((dst + 1.0) * 0.5)[..., None]
+    label = src_label[..., None]
+
+    theta, _ = fit_affine(src01, dst01, iters=affine_iters, lr=lr)
+
+    affined_src01 = affine_warp(src01, theta)
+    flow, _ = fit_demons(affined_src01, dst01, iters=demons_iters, lr=lr,
+                         sigma=(sigma, sigma), diffeomorphic=True,
+                         scaling=diffeo_scaling)
+
+    grid_chw = compute_grid((H, W), dtype=src.dtype)[0]
+
+    affine_lab = affine_warp(label, theta)
+    warped_lab = demons_warp(affine_lab, flow, grid_chw, diffeomorphic=True,
+                             scaling=diffeo_scaling)
+    warped_src01 = demons_warp(affined_src01, flow, grid_chw, diffeomorphic=True,
+                               scaling=diffeo_scaling)
+
+    return RegistrationResult(
+        theta=theta,
+        flow=flow,
+        warped_label=(warped_lab[..., 0] > 0.1).astype(src.dtype),
+        affine_label=(affine_lab[..., 0] > 0.1).astype(src.dtype),
+        warped_src=warped_src01[..., 0] * 2.0 - 1.0,
+        affine_src=affined_src01[..., 0] * 2.0 - 1.0,
+        grid=grid_chw,
+    )
+
+
+@partial(jax.jit, static_argnames=("affine_iters", "demons_iters", "diffeo_scaling"))
+def register_episode(support_imgs, query_imgs, support_labels, *,
+                     affine_iters: int = 50, demons_iters: int = 0,
+                     lr: float = 0.01, sigma: float = 2.0,
+                     diffeo_scaling: int = 10) -> RegistrationResult:
+    """vmap :func:`register_slice` over the slice axis.
+
+    support_imgs, query_imgs: (S, H, W) in [-1, 1]; support_labels: (S, H, W).
+    """
+    fn = partial(register_slice, affine_iters=affine_iters,
+                 demons_iters=demons_iters, lr=lr, sigma=sigma,
+                 diffeo_scaling=diffeo_scaling)
+    return jax.vmap(fn)(support_imgs, query_imgs, support_labels)

@@ -1,0 +1,143 @@
+"""Parity tests: sampling/correlation ops vs torch.nn.functional oracles.
+
+torch (CPU) is used ONLY as a numerical oracle for the public torch ops whose
+semantics the framework replicates (SURVEY.md §7 hard parts 1-2).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import torch
+import torch.nn.functional as F
+
+from rpnet_tpu.ops.correlation import correlation_exact, local_correlation
+from rpnet_tpu.ops.sampling import (
+    affine_grid, avg_pool2d, compute_grid, grid_sample_nchw,
+    interpolate_bilinear_nchw, max_pool2d, replication_pad2d, upsample_nearest2x,
+)
+
+
+def t2n(t):
+    return t.detach().cpu().numpy()
+
+
+@pytest.mark.parametrize("align_corners", [False, True])
+def test_grid_sample_matches_torch(rng, align_corners):
+    x = rng.randn(2, 3, 9, 11).astype(np.float32)
+    grid = (rng.rand(2, 5, 7, 2).astype(np.float32) * 2.6 - 1.3)  # incl. OOB
+    ours = np.asarray(grid_sample_nchw(jnp.asarray(x), jnp.asarray(grid), align_corners))
+    ref = t2n(F.grid_sample(torch.from_numpy(x), torch.from_numpy(grid),
+                            mode="bilinear", padding_mode="zeros",
+                            align_corners=align_corners))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("align_corners", [False, True])
+def test_affine_grid_matches_torch(rng, align_corners):
+    theta = np.array([[[1.1, 0.1, -0.2], [0.05, 0.9, 0.3]],
+                      [[0.7, -0.3, 0.0], [0.2, 1.2, -0.1]]], np.float32)
+    size = (2, 1, 6, 8)
+    ours = np.asarray(affine_grid(jnp.asarray(theta), size, align_corners))
+    ref = t2n(F.affine_grid(torch.from_numpy(theta), size, align_corners=align_corners))
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_affine_warp_matches_torch(rng):
+    """affine_grid + grid_sample composed — the registration warp path."""
+    x = rng.randn(1, 1, 16, 16).astype(np.float32)
+    theta = np.array([[[0.95, 0.05, 0.1], [-0.02, 1.08, -0.07]]], np.float32)
+    grid = affine_grid(jnp.asarray(theta), x.shape)
+    ours = np.asarray(grid_sample_nchw(jnp.asarray(x), grid))
+    ref_grid = F.affine_grid(torch.from_numpy(theta), x.shape)
+    ref = t2n(F.grid_sample(torch.from_numpy(x), ref_grid))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_compute_grid_matches_reference_convention():
+    """(1,2,H,W), channels (x,y), normalized by (S-1) (net/registration.py:171-187)."""
+    g = np.asarray(compute_grid((4, 6)))
+    assert g.shape == (1, 2, 4, 6)
+    np.testing.assert_allclose(g[0, 0, 0], 2 * (np.arange(6) / 5 - 0.5), atol=1e-6)
+    np.testing.assert_allclose(g[0, 1, :, 0], 2 * (np.arange(4) / 3 - 0.5), atol=1e-6)
+
+
+@pytest.mark.parametrize("shape,size", [((2, 4, 8, 8), (32, 32)),
+                                        ((1, 3, 7, 5), (13, 11)),
+                                        ((1, 2, 16, 16), (4, 4))])
+def test_interpolate_bilinear_matches_torch(rng, shape, size):
+    x = rng.randn(*shape).astype(np.float32)
+    ours = np.asarray(interpolate_bilinear_nchw(jnp.asarray(x), size))
+    ref = t2n(F.interpolate(torch.from_numpy(x), size=size, mode="bilinear",
+                            align_corners=False))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_avg_max_pool_match_torch(rng):
+    x = rng.randn(2, 3, 16, 16).astype(np.float32)
+    xt = torch.from_numpy(x)
+    xj = jnp.transpose(jnp.asarray(x), (0, 2, 3, 1))
+    ours = np.asarray(jnp.transpose(avg_pool2d(xj, 4), (0, 3, 1, 2)))
+    np.testing.assert_allclose(ours, t2n(F.avg_pool2d(xt, 4)), atol=1e-6)
+    # maxpool k3 s2 p1 (VGG) and k2 s2 (U-Net)
+    ours = np.asarray(jnp.transpose(max_pool2d(xj, 3, 2, 1), (0, 3, 1, 2)))
+    np.testing.assert_allclose(ours, t2n(F.max_pool2d(xt, 3, 2, 1)), atol=1e-6)
+    ours = np.asarray(jnp.transpose(max_pool2d(xj, 2, 2), (0, 3, 1, 2)))
+    np.testing.assert_allclose(ours, t2n(F.max_pool2d(xt, 2, 2)), atol=1e-6)
+
+
+def test_upsample_and_pad(rng):
+    x = rng.randn(1, 2, 5, 5).astype(np.float32)
+    xj = jnp.transpose(jnp.asarray(x), (0, 2, 3, 1))
+    ours = np.asarray(jnp.transpose(upsample_nearest2x(xj), (0, 3, 1, 2)))
+    ref = t2n(F.interpolate(torch.from_numpy(x), scale_factor=2, mode="nearest"))
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+    ours = np.asarray(jnp.transpose(replication_pad2d(xj, 3), (0, 3, 1, 2)))
+    ref = t2n(F.pad(torch.from_numpy(x), (3, 3, 3, 3), mode="replicate"))
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+# --------------------------------------------------------------------------
+# correlation
+# --------------------------------------------------------------------------
+
+def _torch_reference_correlation(fmap1, fmap2, r):
+    """Oracle: the reference Correlation (net/rp_net.py:130-181) re-expressed
+    with torch public ops (full matrix + window bilinear sampling)."""
+    batch, dim, ht, wd = fmap1.shape
+    f1 = fmap1.view(batch, dim, ht * wd)
+    f2 = fmap2.view(batch, dim, ht * wd)
+    corr = torch.matmul(f1.transpose(1, 2), f2)
+    corr = corr.view(-1, 1, ht, wd) / torch.sqrt(torch.tensor(float(dim)))
+
+    coords = torch.stack(torch.meshgrid(torch.arange(ht), torch.arange(wd),
+                                        indexing="ij")[::-1], dim=0).float()
+    coords = coords[None].repeat(batch, 1, 1, 1).permute(0, 2, 3, 1)
+    dx = torch.linspace(-r, r, 2 * r + 1)
+    dy = torch.linspace(-r, r, 2 * r + 1)
+    delta = torch.stack(torch.meshgrid(dy, dx, indexing="ij"), axis=-1)
+    centroid = coords.reshape(batch * ht * wd, 1, 1, 2)
+    coords_lvl = centroid + delta.view(1, 2 * r + 1, 2 * r + 1, 2)
+    xg, yg = coords_lvl.split([1, 1], dim=-1)
+    xg = 2 * xg / (wd - 1) - 1
+    yg = 2 * yg / (ht - 1) - 1
+    sampled = F.grid_sample(corr, torch.cat([xg, yg], dim=-1), align_corners=True)
+    return sampled.view(batch, ht, wd, -1).permute(0, 3, 1, 2).contiguous()
+
+
+@pytest.mark.parametrize("r", [1, 3])
+def test_local_correlation_equals_reference_formulation(rng, r):
+    B, C, H, W = 2, 8, 10, 12
+    f1 = rng.randn(B, C, H, W).astype(np.float32)
+    f2 = rng.randn(B, C, H, W).astype(np.float32)
+    ref = t2n(_torch_reference_correlation(torch.from_numpy(f1), torch.from_numpy(f2), r))
+
+    f1j = jnp.transpose(jnp.asarray(f1), (0, 2, 3, 1))
+    f2j = jnp.transpose(jnp.asarray(f2), (0, 2, 3, 1))
+    ours_local = np.asarray(jnp.transpose(local_correlation(f1j, f2j, r), (0, 3, 1, 2)))
+    ours_exact = np.asarray(jnp.transpose(correlation_exact(f1j, f2j, r), (0, 3, 1, 2)))
+
+    np.testing.assert_allclose(ours_exact, ref, atol=2e-4)
+    np.testing.assert_allclose(ours_local, ref, atol=2e-4)
+    np.testing.assert_allclose(ours_local, ours_exact, atol=2e-4)
