@@ -1,0 +1,58 @@
+"""Context relation encoders (rebuild of net/rp_net.py:45-84).
+
+`ContextCorrelationEncoder`: foreground-masked vs background-masked feature
+maps go through 3×3 conv projections (w_k / w_q), a RAFT-style local
+correlation (radius r → (2r+1)² channels) and a 1×1 conv down to 64 features.
+The correlation itself never materializes the (H'W')² matrix — see
+ops/correlation.py.
+
+Note: the reference also defines `w_context` and `out` submodules that its
+forward never uses (net/rp_net.py:60-74) — dead weights, not rebuilt.
+
+`SimpleConcat`: the `use_relation_enc: concat` path. The reference *references*
+a SimpleConcat class that is never defined (net/rp_net.py:224 — crashes at
+construction); here it is implemented sensibly as concat(features, mask) → 1×1
+conv → 64, so the config option actually works.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from rpnet_tpu.models.blocks import Norm2d, TorchConv
+from rpnet_tpu.ops.correlation import local_correlation
+
+NUM_FEAT = 64
+
+
+class ContextCorrelationEncoder(nn.Module):
+    radius: int = 5
+
+    @nn.compact
+    def __call__(self, fm1, fm2, train: bool = False):
+        """fm1 = fg-masked features, fm2 = bg-masked features; (B, h, w, C)."""
+        C = fm1.shape[-1]
+        fm1 = TorchConv(C, (3, 3), name="w_k_conv")(fm1)
+        fm1 = Norm2d(name="w_k_norm")(fm1, train)
+        fm1 = nn.relu(fm1)
+        fm2 = TorchConv(C, (3, 3), name="w_q_conv")(fm2)
+        fm2 = Norm2d(name="w_q_norm")(fm2, train)
+        fm2 = nn.relu(fm2)
+
+        corr = local_correlation(fm1, fm2, self.radius)  # (B, h, w, (2r+1)²)
+        x = jnp.concatenate([corr, fm1], axis=-1)
+        x = TorchConv(NUM_FEAT, (1, 1), name="q_conv")(x)
+        x = Norm2d(name="q_norm")(x, train)
+        return nn.relu(x)
+
+
+class SimpleConcat(nn.Module):
+    """concat(features, mask) → 1×1 conv → 64 (the `concat` relation mode)."""
+
+    @nn.compact
+    def __call__(self, fts, mask, train: bool = False):
+        x = jnp.concatenate([fts, mask], axis=-1)
+        x = TorchConv(NUM_FEAT, (1, 1), name="proj_conv")(x)
+        x = Norm2d(name="proj_norm")(x, train)
+        return nn.relu(x)

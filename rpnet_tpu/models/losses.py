@@ -1,0 +1,160 @@
+"""Loss zoo (rebuild of the losses in net/rp_net.py:87-127 and net/unet.py:39-348).
+
+All functions are channels-last and jit-safe. Dynamic-control-flow constructs
+in the reference (per-bin Python loops in GHM, `g0.sum()==0` zeroing) become
+vectorized masks with identical values.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def softmax_cross_entropy(logits, labels, ignore_index: Optional[int] = None):
+    """torch F.cross_entropy on (B, H, W, C) logits / (B, H, W) int labels."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    if ignore_index is not None:
+        valid = (labels != ignore_index)
+        safe = jnp.where(valid, labels, 0)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    return jnp.mean(nll)
+
+
+def dice_loss_softmax(logits, true, eps: float = 1e-7):
+    """Sørensen–Dice loss (dice_loss_softmax, net/rp_net.py:87-120).
+
+    logits: (B, H, W, C); true: (B, H, W) integer labels.
+    Multi-class path (C > 1): softmax probs vs one-hot, dice per class
+    averaged. (The reference's C==1 sigmoid path is also provided.)
+    """
+    num_classes = logits.shape[-1]
+    if num_classes == 1:
+        pos = jax.nn.sigmoid(logits[..., 0])
+        probas = jnp.stack([pos, 1.0 - pos], axis=-1)
+        t = jax.nn.one_hot(true, 2)
+        # reference swaps one-hot channels so fg aligns with sigmoid prob
+        true_1_hot = jnp.stack([t[..., 1], t[..., 0]], axis=-1)
+    else:
+        probas = jax.nn.softmax(logits, axis=-1)
+        true_1_hot = jax.nn.one_hot(true, num_classes)
+    dims = (0, 1, 2)
+    intersection = jnp.sum(probas * true_1_hot, axis=dims)
+    cardinality = jnp.sum(probas + true_1_hot, axis=dims)
+    dice = jnp.mean(2.0 * intersection / (cardinality + eps))
+    return 1.0 - dice
+
+
+def dice_ce(logits, true, eps: float = 1e-7):
+    """dice + cross-entropy (dice_ce, net/rp_net.py:123-127) — the YAML
+    default training loss (example.yml:115)."""
+    return dice_loss_softmax(logits, true, eps) + softmax_cross_entropy(logits, true)
+
+
+def dice_loss_per_class(pred, target):
+    """Per-class sigmoid Tversky-style dice (dice_loss, net/unet.py:191-213).
+
+    pred, target: (N, C). Returns (C,) per-class losses; classes with empty
+    ground truth contribute 0.
+    """
+    p0 = jax.nn.sigmoid(pred)
+    g0 = target
+    num = jnp.sum(p0 * g0, axis=0)
+    den = num + 0.5 * jnp.sum(p0 * (1 - g0), axis=0) + 0.5 * jnp.sum((1 - p0) * g0, axis=0)
+    loss = 1.0 - num / (den + 1e-5)
+    nonempty = (jnp.sum(g0, axis=0) > 0).astype(pred.dtype)
+    return loss * nonempty
+
+
+def binary_dice_loss(pred, target):
+    """Foreground + background dice (binary_dice_loss, net/unet.py:216-249)."""
+    p0 = jax.nn.sigmoid(pred)
+    g0 = target
+    num = jnp.sum(p0 * g0, axis=0)
+    den = jnp.sum(p0, axis=0) + jnp.sum(g0, axis=0) + 1e-5
+    loss_fore = 1.0 - num / (den + 1e-5)
+    loss_back = -jnp.sum((1 - p0) * (1 - g0), axis=0) / (
+        jnp.sum(1 - p0, axis=0) + jnp.sum(1 - g0, axis=0) + 1e-5)
+    loss = loss_fore + loss_back
+    nonempty = (jnp.sum(g0, axis=0) > 0).astype(pred.dtype)
+    return loss * nonempty
+
+
+def nll_neg_bootstrap_loss(p, g):
+    """Bootstrapped negative log-likelihood (net/unet.py:341-348).
+
+    NB the reference sigmoids its input a second time (its caller already
+    applied sigmoid) — preserved."""
+    p = jax.nn.sigmoid(p)
+    return -jnp.mean((1 - g) * jnp.log(jnp.clip(1 - p, 1e-8)))
+
+
+def dice_loss_bootstrap(pred, target):
+    """dice + bootstrapped negative loss (net/unet.py:312-338)."""
+    p0 = jax.nn.sigmoid(pred)
+    g0 = target
+    num = jnp.sum(p0 * g0, axis=0)
+    den = num + 0.5 * jnp.sum(p0 * (1 - g0), axis=0) + 0.5 * jnp.sum((1 - p0) * g0, axis=0)
+    dice = (1.0 - num / (den + 1e-5)) * (jnp.sum(g0, axis=0) > 0)
+    neg = jax.vmap(nll_neg_bootstrap_loss, in_axes=1)(p0, g0)
+    return dice + neg
+
+
+def ghm_c_loss(pred, target, label_weight, bins: int = 10, loss_weight: float = 1.0):
+    """Gradient-harmonized BCE (GHMC, net/unet.py:39-111; momentum=0 path).
+
+    pred/target/label_weight: broadcastable arrays (logits, binary target,
+    validity). The per-bin Python loop becomes a vectorized histogram.
+    """
+    pred = pred.reshape(-1)
+    target = target.reshape(-1).astype(pred.dtype)
+    valid = (label_weight.reshape(-1) > 0)
+    g = jnp.abs(jax.nn.sigmoid(pred) - target)
+    tot = jnp.maximum(jnp.sum(valid), 1.0)
+
+    edges = jnp.arange(bins + 1, dtype=pred.dtype) / bins
+    edges = edges.at[-1].add(1e-6)
+    idx = jnp.clip(jnp.searchsorted(edges, g, side="right") - 1, 0, bins - 1)
+    counts = jnp.zeros((bins,), pred.dtype).at[idx].add(valid.astype(pred.dtype))
+    n_valid_bins = jnp.sum(counts > 0)
+    w_per_bin = jnp.where(counts > 0, tot / jnp.maximum(counts, 1.0), 0.0)
+    weights = w_per_bin[idx] * valid / jnp.maximum(n_valid_bins, 1)
+
+    bce = jnp.maximum(pred, 0) - pred * target + jnp.log1p(jnp.exp(-jnp.abs(pred)))
+    return jnp.sum(bce * weights) / tot * loss_weight
+
+
+def ghm_dice_loss(pred, target, label_weight, bins: int = 10, loss_weight: float = 1.0):
+    """Gradient-harmonized dice (GHMDice, net/unet.py:114-188; momentum=0)."""
+    pred = pred.reshape(-1)
+    target = target.reshape(-1).astype(pred.dtype)
+    valid = (label_weight.reshape(-1) > 0)
+    I = jnp.sum(pred * target)
+    S = jnp.sum(pred) + jnp.sum(target)
+    g = jnp.abs(2 * I / S * jax.lax.stop_gradient(pred) - target)
+    tot = jnp.maximum(jnp.sum(valid), 1.0)
+
+    edges = jnp.arange(bins + 1, dtype=pred.dtype) / bins
+    edges = edges.at[-1].add(1e-6)
+    idx = jnp.clip(jnp.searchsorted(edges, g, side="right") - 1, 0, bins - 1)
+    counts = jnp.zeros((bins,), pred.dtype).at[idx].add(valid.astype(pred.dtype))
+    n_valid_bins = jnp.sum(counts > 0)
+    w_per_bin = jnp.where(counts > 0, tot / jnp.maximum(counts, 1.0), 0.0)
+    weights = w_per_bin[idx] * valid / jnp.maximum(n_valid_bins, 1)
+
+    return (1.0 - jnp.sum(2 * pred * target * weights) / S) * loss_weight
+
+
+LOSS_REGISTRY = {
+    "dice_ce": dice_ce,
+    "dice_softmax": dice_loss_softmax,
+    "dice": dice_loss_per_class,
+    "binary_dice": binary_dice_loss,
+    "dice_bootstrap": dice_loss_bootstrap,
+    "ghm_c": ghm_c_loss,
+    "ghm_dice": ghm_dice_loss,
+}
