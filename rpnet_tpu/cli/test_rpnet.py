@@ -1,0 +1,204 @@
+"""Episodic evaluation CLI — the framework's main entry point.
+
+Reproduces the reference driver's protocol (test_rpnet.py:39-258) on the
+fused TPU pipeline:
+
+  * ``python -m rpnet_tpu.cli.test_rpnet --yaml yamls/example.yml``
+    (argparse surface mirrors test_rpnet.py:35-37);
+  * seeds numpy/random for reproducible support draws (test_rpnet.py:8-10);
+  * ``n_iter_refinement`` is overridden by ``n_test_iter_refinement``
+    (test_rpnet.py:51);
+  * ``n_runs`` eval passes, per-episode log lines
+    (``{j} {pid} {supp_pid} affine (ncc, ncc_raw) {dsc} fewshot {dsc} ref ...``,
+    test_rpnet.py:232-243) and the final mean±std aggregation block
+    (test_rpnet.py:128-145);
+  * sinks: stdout tee → ``out_dir/log_eval`` (Logger), TensorBoard scalars
+    when available, plus a JSON results file per run (new).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import sys
+import time
+from collections import defaultdict
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+
+from rpnet_tpu.config import Config, load_yaml
+from rpnet_tpu.episode.pipeline import EpisodeRunner
+from rpnet_tpu.episode.sampler import EpisodeSampler
+from rpnet_tpu.models.factory import model_factory
+from rpnet_tpu.utils.logger import Logger
+
+parser = argparse.ArgumentParser(description="RP-Net TPU episodic eval")
+parser.add_argument("--yaml", default=None, type=str, metavar="N",
+                    help="experiment configuration YAML")
+parser.add_argument("--platform", default=None, type=str,
+                    help="override jax platform (e.g. cpu)")
+parser.add_argument("--n-runs", default=None, type=int,
+                    help="override n_runs from the YAML")
+
+
+def build_model_and_runner(config: Config, seed: int = 0):
+    """Initialize model variables (optionally from ckpt) and the runner."""
+    num_iter = config["n_iter_refinement"]
+    model = model_factory[config.get("net", "RP_Net")](config, align=True,
+                                                       num_iter=num_iter)
+    H, W = config.get("crop_size", [256, 256])
+    import jax.numpy as jnp
+
+    dummy = (
+        jnp.zeros((1, 1, 1, H, W, 1), jnp.float32),
+        jnp.zeros((1, 1, 1, H, W), jnp.float32),
+        jnp.ones((1, 1, 1, H, W), jnp.float32),
+        jnp.zeros((1, H, W, 1), jnp.float32),
+        jnp.zeros((1, H, W), jnp.float32),
+    )
+    variables = model.init(jax.random.PRNGKey(seed), *dummy, train=False)
+    start_epoch = 0
+    ckpt = config.get("ckpt")
+    if ckpt:
+        print(f"[Loading model from {ckpt}]")
+        from rpnet_tpu.train.checkpoint import restore_into
+        variables, start_epoch = restore_into(variables, ckpt)
+    runner = EpisodeRunner(model, variables, config)
+    return model, variables, runner, start_epoch
+
+
+def evaluate(runner: EpisodeRunner, sampler: EpisodeSampler, config: Config):
+    """One eval pass (reference eval(), test_rpnet.py:151-258)."""
+    eval_classes = config["eval_classes"]
+    dsc_affine_list = defaultdict(list)
+    dsc_fewshot_list = defaultdict(list)
+    dsc_refinement_list = defaultdict(lambda: defaultdict(list))
+
+    for j in range(len(sampler)):
+        ep = sampler.sample(j)
+        res = runner.run(ep)
+        cls = eval_classes[ep.class_id]
+        supp_pid = sampler.data_info[ep.supp_pids[0][0]][ep.supp_pids[0][1]]["pid"]
+
+        print(f"{j} {ep.pid} {supp_pid} affine ({res['ncc_warped']:.4f}, "
+              f"{res['ncc_raw']:.4f}) {res['dsc_affine']}, "
+              f"fewshot {res['dsc_fewshot']}", end=" ")
+        dsc_affine_list[cls].append(res["dsc_affine"])
+        dsc_fewshot_list[cls].append(res["dsc_fewshot"])
+        for it, v in res["dsc_refinement"].items():
+            dsc_refinement_list[cls][it].append(v)
+            print(f"ref {it} {v}, ", end=" ")
+        print()
+
+    for cls in eval_classes:
+        aff = [d for d in dsc_affine_list[cls] if d is not None]
+        few = [d for d in dsc_fewshot_list[cls] if d is not None]
+        print(f"{cls}, affine {np.average(aff) if aff else float('nan')}, "
+              f"fewshot {np.average(few) if few else float('nan')}", end=" ")
+        for it, l in dsc_refinement_list[cls].items():
+            vals = [v for v in l if v is not None]
+            print(f"ref {it} {np.average(vals) if vals else float('nan')}, ", end=" ")
+        print()
+    return dsc_affine_list, dsc_fewshot_list, dsc_refinement_list
+
+
+def main(argv=None):
+    args = parser.parse_args(argv)
+    if not args.yaml:
+        print("No configuration file")
+        return None
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    raw_cfg, _ = load_yaml(args.yaml)
+    config = Config(raw_cfg)
+    # eval uses the test-time refinement depth (test_rpnet.py:51)
+    config = config.replace(n_iter_refinement=config["n_test_iter_refinement"])
+
+    seed = int(config.get("seed", 0))
+    np.random.seed(seed)
+    random.seed(seed)
+
+    out_dir = config.get("out_dir") or "./results/{}/".format(
+        os.path.splitext(os.path.basename(args.yaml))[0])
+    os.makedirs(os.path.join(out_dir, "model"), exist_ok=True)
+    sys.stdout = Logger(os.path.join(out_dir, "log_eval"))
+
+    sampler = EpisodeSampler(config["data_dir"], config["eval_set_name"],
+                             config, mode="eval")
+    print(f"[length of eval loader {len(sampler)}]")
+
+    model, variables, runner, start_epoch = build_model_and_runner(config, seed)
+
+    writer = None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+        writer = SummaryWriter(os.path.join(out_dir, "runs", "eval"))
+    except Exception:
+        pass
+
+    n_runs = args.n_runs or config.get("n_runs", 1)
+    eval_classes = config["eval_classes"]
+    dsc_affine = defaultdict(list)
+    dsc_fewshot = defaultdict(list)
+    dsc_refinement = defaultdict(lambda: defaultdict(list))
+    t0 = time.time()
+    total_episodes = 0
+    total_slices = 0
+
+    for i in range(n_runs):
+        print(f"{i + 1} / {n_runs}")
+        a, f, r = evaluate(runner, sampler, config)
+        total_episodes += len(sampler)
+        for k in eval_classes:
+            dsc_affine[k].append([d for d in a[k]])
+            dsc_fewshot[k].append([d for d in f[k]])
+            for it, l in r[k].items():
+                dsc_refinement[k][it].append(l)
+
+    wall = time.time() - t0
+    results: Dict[str, Dict] = {"classes": {}, "wall_time_sec": wall,
+                                "episodes": total_episodes,
+                                "episodes_per_sec": total_episodes / max(wall, 1e-9)}
+
+    def _nanmean_std(rows):
+        """Mean over episodes per run, then mean±std over runs
+        (the `.mean(1).mean()` / `.mean(1).std()` protocol, test_rpnet.py:138-143)."""
+        per_run = []
+        for row in rows:
+            vals = [v for v in row if v is not None]
+            per_run.append(np.mean(vals) if vals else np.nan)
+        return float(np.nanmean(per_run)), float(np.nanstd(per_run))
+
+    print("=======Average performance=========")
+    ref_dsc = []
+    for k in eval_classes:
+        am, astd = _nanmean_std(dsc_affine[k])
+        fm, fstd = _nanmean_std(dsc_fewshot[k])
+        print(f"{k}, affine {am} + {astd}, fewshot {fm} + {fstd} ")
+        results["classes"][k] = {"affine": [am, astd], "fewshot": [fm, fstd],
+                                 "refinement": {}}
+        for it, rows in dsc_refinement[k].items():
+            rm, rstd = _nanmean_std(rows)
+            ref_dsc.append(rm)
+            results["classes"][k]["refinement"][int(it)] = [rm, rstd]
+            print(f"ref {it} {rm} + {rstd}, ", end=" ")
+        print()
+        if writer is not None:
+            writer.add_scalar(k, fm, start_epoch)
+    print(ref_dsc)
+
+    with open(os.path.join(out_dir, "results_eval.json"), "w") as fjson:
+        json.dump(results, fjson, indent=2)
+    if writer is not None:
+        writer.close()
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""The fused episode program: registration + network + metrics in ONE jit.
+
+This is the core TPU redesign (SURVEY.md §3.2/§3.3 → §7): the reference runs
+per-slice registration fits on the data-loader thread (few_shot_reader.py:
+122-185), then micro-batches query slices 2-at-a-time through the network
+(test_rpnet.py:164,189-205), with host↔device copies at every boundary. Here
+a whole episode — 50-iteration affine fit vmapped over slices, demons,
+encoder, `lax.scan` refinement, Dice/NCC — compiles into a single XLA program
+with static shapes.
+
+Static shapes: the query-slice count varies per episode, so episodes are
+padded to a multiple of ``slice_bucket`` with a validity mask (SURVEY.md §7
+hard part 3); metrics are mask-weighted so padded slices can't leak into Dice.
+One compiled program per bucket size, cached.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rpnet_tpu.core.metrics import dice_jax, ncc
+from rpnet_tpu.episode.sampler import Episode
+from rpnet_tpu.registration.fit import register_episode
+
+
+def episode_metrics_fn(model, affine_iters: int, demons_iters: int):
+    """Build the pure episode function for `model` (un-jitted)."""
+
+    def fn(variables, supp_img, supp_lab, qry_img, qry_lab, slice_mask):
+        """supp_img/supp_lab: (Sh, Dq, H, W); qry_*: (Dq, H, W); mask: (Dq,)."""
+        # ---- stage 1: registration prior (shot 0, like the reference) ----
+        reg = register_episode(supp_img[0], qry_img, supp_lab[0],
+                               affine_iters=affine_iters,
+                               demons_iters=demons_iters)
+        appr = reg.warped_label                        # (Dq, H, W)
+
+        # ---- stage 2: network ----
+        supp_t = reg.affine_src[None, None, ..., None]  # (1, 1, Dq, H, W, 1)
+        fore_t = reg.affine_label[None, None]
+        back_t = 1.0 - fore_t
+        qry_t = qry_img[..., None]
+        out = model.apply(variables, supp_t, fore_t, back_t, qry_t, appr,
+                          train=False)
+        ref_probs = jax.nn.softmax(out["refinement"], axis=-1)[..., 1]  # (T,Dq,H,W)
+        ref_preds = (ref_probs > 0.5).astype(jnp.float32)
+        fewshot_pred = ref_preds[-1]
+
+        # ---- stage 3: on-device metrics ----
+        w = slice_mask
+        dsc_affine, affine_valid = dice_jax(appr, qry_lab, weight=w)
+        dsc_fewshot, _ = dice_jax(fewshot_pred, qry_lab, weight=w)
+        dsc_ref, _ = jax.vmap(lambda p: dice_jax(p, qry_lab, weight=w))(ref_preds)
+
+        # NCC diagnostics (test_rpnet.py:229-230) over valid slices
+        w3 = w[:, None, None]
+        ncc_warped = ncc(reg.warped_src * w3, qry_img * w3)
+        ncc_raw = ncc(supp_img[0] * w3, qry_img * w3)
+
+        return {
+            "dsc_affine": dsc_affine,
+            "dsc_fewshot": dsc_fewshot,
+            "dsc_refinement": dsc_ref,          # (T,)
+            "gt_nonempty": affine_valid,
+            "ncc_warped": ncc_warped,
+            "ncc_raw": ncc_raw,
+            "prediction": fewshot_pred,
+            "appr_label": appr,
+        }
+
+    return fn
+
+
+class EpisodeRunner:
+    """Pads episodes to bucketed static shapes and runs the fused program."""
+
+    def __init__(self, model, variables, config, donate: bool = False):
+        self.model = model
+        self.variables = variables
+        self.cfg = config
+        self.bucket = int(config.get("slice_bucket", 32))
+        self.max_slices = int(config.get("max_slices", 288))
+        affine_iters = int(config.get("reg_affine_iters", 50))
+        demons_iters = (int(config.get("reg_demons_iters", 50))
+                        if config.get("do_deformable", False) else 0)
+        fn = episode_metrics_fn(model, affine_iters, demons_iters)
+        self._jitted = jax.jit(fn)
+
+    def pad(self, ep: Episode):
+        Dq = ep.n_slices
+        padded = min(-(-Dq // self.bucket) * self.bucket, self.max_slices)
+        take = min(Dq, padded)
+
+        def pad_slices(a, fill):
+            a = a[..., :take, :, :]   # slice axis is third-from-last
+            pads = [(0, 0)] * (a.ndim - 3) + [(0, padded - take), (0, 0), (0, 0)]
+            return np.pad(a, pads, constant_values=fill)
+
+        supp_img = pad_slices(ep.support_images, -1.0)
+        supp_lab = pad_slices(ep.support_labels, 0.0)
+        qry_img = pad_slices(ep.query_images, -1.0)
+        qry_lab = pad_slices(ep.query_labels, 0.0)
+        mask = np.zeros((padded,), np.float32)
+        mask[:take] = 1.0
+        return supp_img, supp_lab, qry_img, qry_lab, mask
+
+    def run(self, ep: Episode) -> Dict[str, Any]:
+        supp_img, supp_lab, qry_img, qry_lab, mask = self.pad(ep)
+        out = self._jitted(self.variables, jnp.asarray(supp_img),
+                           jnp.asarray(supp_lab), jnp.asarray(qry_img),
+                           jnp.asarray(qry_lab), jnp.asarray(mask))
+        out = jax.tree_util.tree_map(np.asarray, out)
+        # host conventions: None for empty ground truth (util.py:388-389)
+        nonempty = bool(out["gt_nonempty"])
+        result = {
+            "dsc_affine": float(out["dsc_affine"]) if nonempty else None,
+            "dsc_fewshot": float(out["dsc_fewshot"]) if nonempty else None,
+            "dsc_refinement": {i: (float(v) if nonempty else None)
+                               for i, v in enumerate(out["dsc_refinement"])},
+            "ncc_warped": float(out["ncc_warped"]),
+            "ncc_raw": float(out["ncc_raw"]),
+            "prediction": out["prediction"],
+            "appr_label": out["appr_label"],
+            "n_slices": ep.n_slices,
+        }
+        return result

@@ -1,0 +1,87 @@
+"""Checkpoint save/restore with the reference's overlay semantics.
+
+The reference stores ``{'epoch', 'state_dict', 'optimizer'}`` and restores by
+OVERLAYING the checkpoint's state_dict onto a freshly-initialized one —
+tolerating missing/extra keys — with the optimizer restore disabled
+(test_rpnet.py:86-96). Here:
+
+  * checkpoints are orbax-saved pytrees ``{'step', 'variables', 'opt_state'}``;
+  * :func:`overlay_restore` merges a (possibly partial) checkpoint variables
+    tree onto freshly-initialized variables, keeping fresh leaves where the
+    checkpoint has none — the same warm-start behavior;
+  * torch ``.pth`` checkpoints are accepted too and converted on the fly
+    (train/convert.py) so reference checkpoints keep working.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _is_leaf_dict(d) -> bool:
+    return isinstance(d, dict)
+
+
+def overlay(dst: Dict[str, Any], src: Dict[str, Any], path: str = "") -> Dict[str, Any]:
+    """Recursively overlay src onto dst (missing/extra keys tolerated)."""
+    out = dict(dst)
+    for k, v in src.items():
+        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+            out[k] = overlay(out[k], v, f"{path}/{k}")
+        elif k in out:
+            cur = out[k]
+            arr = np.asarray(v)
+            if hasattr(cur, "shape") and tuple(cur.shape) != tuple(arr.shape):
+                raise ValueError(
+                    f"checkpoint shape mismatch at {path}/{k}: "
+                    f"{arr.shape} vs model {tuple(cur.shape)}")
+            out[k] = arr.astype(np.asarray(cur).dtype)
+        else:
+            out[k] = np.asarray(v)   # extra key kept (state.update semantics)
+    return out
+
+
+def save_checkpoint(path: str, step: int, variables, opt_state=None):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckpt = {"step": step,
+            "variables": jax.tree_util.tree_map(np.asarray, variables)}
+    if opt_state is not None:
+        ckpt["opt_state"] = jax.tree_util.tree_map(np.asarray, opt_state)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, ckpt, force=True)
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    """Load an orbax dir or a torch .pth file; returns the raw tree."""
+    if path.endswith((".pth", ".pt", ".tar")) or os.path.isfile(path):
+        from rpnet_tpu.train.convert import load_torch_checkpoint
+        return load_torch_checkpoint(path)
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    return ckptr.restore(os.path.abspath(path))
+
+
+def restore_into(variables, path: str, model_name: str = "RP_Net"):
+    """Overlay-restore a checkpoint into freshly-initialized variables.
+
+    Returns (variables, start_step). torch checkpoints are converted first.
+    """
+    ckpt = load_checkpoint(path)
+    step = int(ckpt.get("step", ckpt.get("epoch", 0)) or 0)
+    if "variables" in ckpt:
+        src = ckpt["variables"]
+    elif "state_dict" in ckpt:
+        from rpnet_tpu.train.convert import convert_state_dict
+        src = convert_state_dict(ckpt["state_dict"], variables)
+    else:
+        src = ckpt
+    src = {k: v for k, v in src.items() if not k.startswith("_")}
+    merged = overlay(variables, src)
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), merged), step

@@ -1,0 +1,106 @@
+"""Checkpoint conversion tests: torch state_dict naming → flax variable tree."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rpnet_tpu.models.rpnet import RPNet
+from rpnet_tpu.train.checkpoint import overlay, restore_into
+from rpnet_tpu.train.convert import convert_state_dict, convert_torchvision_vgg16
+
+
+def _init_unet_model():
+    model = RPNet(backbone="UNet", scale=4, num_iter=1, radius=1)
+    H = W = 32
+    dummy = (jnp.zeros((1, 1, 1, H, W, 1)), jnp.zeros((1, 1, 1, H, W)),
+             jnp.ones((1, 1, 1, H, W)), jnp.zeros((1, H, W, 1)),
+             jnp.zeros((1, H, W)))
+    variables = model.init(jax.random.PRNGKey(0), *dummy, train=False)
+    return model, jax.tree_util.tree_map(np.asarray, variables)
+
+
+def test_convert_unet_and_cre_keys(rng):
+    model, variables = _init_unet_model()
+    p = variables["params"]
+
+    def fake(shape):
+        return rng.randn(*shape).astype(np.float32)
+
+    k1 = p["encoder"]["enc1"]["conv1"]["conv"]["kernel"]   # (3,3,1,64) HWIO
+    up5k = p["encoder"]["up5"]["conv"]["conv"]["kernel"]
+    qk = p["cre"]["q_conv"]["conv"]["kernel"]
+    sd = {
+        "encoder.Conv1.conv.0.weight": fake((k1.shape[3], k1.shape[2], 3, 3)),
+        "encoder.Conv1.conv.0.bias": fake((64,)),
+        "encoder.Conv1.conv.1.weight": fake((64,)),
+        "encoder.Conv1.conv.1.bias": fake((64,)),
+        "encoder.Conv1.conv.1.running_mean": fake((64,)),
+        "encoder.Conv1.conv.1.running_var": np.abs(fake((64,))),
+        "encoder.Conv1.conv.1.num_batches_tracked": np.array(7),
+        "encoder.Up5.up.1.weight": fake((up5k.shape[3], up5k.shape[2], 3, 3)),
+        "encoder.Up5.up.1.bias": fake((512,)),
+        "encoder.Up5.up.2.weight": fake((512,)),
+        "encoder.Up5.up.2.bias": fake((512,)),
+        "encoder.Up5.up.2.running_mean": fake((512,)),
+        "encoder.Up5.up.2.running_var": np.abs(fake((512,))),
+        "cre.q.0.weight": fake((qk.shape[3], qk.shape[2], 1, 1)),
+        "cre.q.0.bias": fake((64,)),
+        "cre.w_context.0.weight": fake((1, 1, 1, 1)),   # dead submodule → skipped
+    }
+    tree = convert_state_dict(sd)
+    assert "cre.w_context.0.weight" in tree["_unmatched_keys"]
+
+    # conv kernel transposed OIHW → HWIO, placed at the right leaf
+    np.testing.assert_allclose(
+        tree["params"]["encoder"]["enc1"]["conv1"]["conv"]["kernel"],
+        np.transpose(sd["encoder.Conv1.conv.0.weight"], (2, 3, 1, 0)))
+    np.testing.assert_allclose(
+        tree["batch_stats"]["encoder"]["enc1"]["norm1"]["bn"]["mean"],
+        sd["encoder.Conv1.conv.1.running_mean"])
+    np.testing.assert_allclose(
+        tree["params"]["cre"]["q_conv"]["conv"]["kernel"],
+        np.transpose(sd["cre.q.0.weight"], (2, 3, 1, 0)))
+
+    # overlay into fresh variables keeps untouched leaves and swaps converted
+    merged = overlay(variables, {k: v for k, v in tree.items()
+                                 if not k.startswith("_")})
+    np.testing.assert_allclose(
+        merged["params"]["encoder"]["enc1"]["conv1"]["conv"]["kernel"],
+        np.transpose(sd["encoder.Conv1.conv.0.weight"], (2, 3, 1, 0)))
+    np.testing.assert_allclose(
+        merged["params"]["encoder"]["enc2"]["conv1"]["conv"]["kernel"],
+        p["encoder"]["enc2"]["conv1"]["conv"]["kernel"])
+
+
+def test_overlay_shape_mismatch_raises(rng):
+    _, variables = _init_unet_model()
+    bad = {"params": {"encoder": {"enc1": {"conv1": {"conv": {
+        "kernel": rng.randn(3, 3, 2, 64).astype(np.float32)}}}}}}
+    with pytest.raises(ValueError, match="shape mismatch"):
+        overlay(variables, bad)
+
+
+def test_torchvision_vgg16_positional_load(rng):
+    """First 13 (weight, bias) conv pairs map onto stages in order
+    (net/vgg.py:65-74 positional semantics)."""
+    chans = [(3, 64), (64, 64), (64, 128), (128, 128),
+             (128, 256), (256, 256), (256, 256),
+             (256, 512), (512, 512), (512, 512),
+             (512, 512), (512, 512), (512, 512)]
+    idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    sd = {}
+    for (ci, co), i in zip(chans, idx):
+        sd[f"features.{i}.weight"] = rng.randn(co, ci, 3, 3).astype(np.float32)
+        sd[f"features.{i}.bias"] = rng.randn(co).astype(np.float32)
+    tree = convert_torchvision_vgg16(sd)
+    enc = tree["params"]["encoder"]
+    assert set(enc.keys()) == {
+        "stage1_conv1", "stage1_conv2", "stage2_conv1", "stage2_conv2",
+        "stage3_conv1", "stage3_conv2", "stage3_conv3",
+        "stage4_conv1", "stage4_conv2", "stage4_conv3",
+        "stage5_conv1", "stage5_conv2", "stage5_conv3"}
+    np.testing.assert_allclose(
+        enc["stage3_conv2"]["conv"]["kernel"],
+        np.transpose(sd["features.12.weight"], (2, 3, 1, 0)))

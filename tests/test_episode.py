@@ -1,0 +1,133 @@
+"""Episodic integration tests on a synthetic NRRD dataset (SURVEY.md §4
+item 3): the fake-data story the reference never had, runnable on CPU."""
+
+import os
+import random
+
+import numpy as np
+import pytest
+
+import jax
+
+from rpnet_tpu.config import Config
+from rpnet_tpu.core.synthetic import generate_dataset
+from rpnet_tpu.episode.pipeline import EpisodeRunner
+from rpnet_tpu.episode.sampler import EpisodeSampler, slice_bins
+from rpnet_tpu.models.factory import model_factory
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("synthdata"))
+    return generate_dataset(root, n_train=3, n_test=3, shape=(20, 48, 48), seed=0)
+
+
+def small_config(paths, **kw):
+    base = dict(
+        data_dir=paths["data_dir"],
+        class_csv_dir=paths["class_dir"],
+        eval_set_name=paths["test_csv"],
+        train_set_name=paths["train_csv"],
+        num_slice=32, num_x=48, num_y=48,
+        crop_size=[32, 32], pad_value=-1024, HU_range=[-1024, 3072],
+        n_shot=1, n_way=1, k=4,
+        eval_classes=["Liver"], train_classes=["Spleen"],
+        backbone="UNet", n_iter_refinement=2, n_test_iter_refinement=2,
+        mask_refinement_correlation_radius=2, soft_mask=False,
+        use_registration_loss=True, use_registration_mask=True,
+        do_deformable=False, reg_affine_iters=8,
+        slice_bucket=8, max_slices=32, do_intaug=False, do_elastic=False,
+    )
+    base.update(kw)
+    return Config(base)
+
+
+def test_slice_bins_match_reference_rule():
+    k, sidx, edges = slice_bins([10], 10, 4)
+    assert k == 4
+    # floor(arange(n/k/2, n, n/k)) for n=10,k=4 → floor([1.25,3.75,6.25,8.75])
+    np.testing.assert_array_equal(sidx[0], [1, 3, 6, 8])
+    np.testing.assert_array_equal(edges, [0, 2, 5, 7, 10])
+    # k clamps to the shortest volume
+    k2, _, _ = slice_bins([3], 10, 12)
+    assert k2 == 3
+
+
+def test_sampler_eval_episode_shapes(synth):
+    cfg = small_config(synth)
+    random.seed(0)
+    s = EpisodeSampler(cfg["data_dir"], cfg["eval_set_name"], cfg, mode="eval")
+    assert len(s) == 3  # 3 test patients × 1 class
+    ep = s.sample(0)
+    ts, Dq, H, W = ep.support_images.shape
+    assert ts == 1 and (H, W) == (32, 32)
+    assert ep.query_images.shape == (Dq, H, W)
+    assert set(np.unique(ep.support_labels)) <= {0.0, 1.0}
+    assert ep.query_labels.max() == 1.0
+    # supports never include the query volume
+    for ci, di in ep.supp_pids:
+        assert s.data_info[ci][di]["pid"] != ep.pid
+
+
+def test_sampler_support_draw_reproducible(synth):
+    cfg = small_config(synth)
+    s = EpisodeSampler(cfg["data_dir"], cfg["eval_set_name"], cfg, mode="eval")
+    random.seed(0)
+    a = s.sample(1).supp_pids
+    random.seed(0)
+    b = s.sample(1).supp_pids
+    assert a == b
+
+
+def test_sampler_train_episode(synth):
+    cfg = small_config(synth)
+    random.seed(0)
+    np.random.seed(0)
+    s = EpisodeSampler(cfg["data_dir"], cfg["train_set_name"], cfg, mode="train")
+    ep = s.sample(0)
+    assert ep.support_images.shape[0] == 1      # shots
+    assert ep.support_images.shape[1] == ep.query_images.shape[0] == 4  # k
+    assert np.isfinite(ep.query_images).all()
+
+
+def test_full_episode_pipeline(synth):
+    """End-to-end: sampler → fused registration+model+dice program."""
+    cfg = small_config(synth)
+    random.seed(0)
+    s = EpisodeSampler(cfg["data_dir"], cfg["eval_set_name"], cfg, mode="eval")
+    model = model_factory["RP_Net"](cfg, num_iter=2)
+    ep = s.sample(0)
+    import jax.numpy as jnp
+
+    H, W = 32, 32
+    dummy = (jnp.zeros((1, 1, 1, H, W, 1)), jnp.zeros((1, 1, 1, H, W)),
+             jnp.ones((1, 1, 1, H, W)), jnp.zeros((1, H, W, 1)),
+             jnp.zeros((1, H, W)))
+    variables = model.init(jax.random.PRNGKey(0), *dummy, train=False)
+    runner = EpisodeRunner(model, variables, cfg)
+    res = runner.run(ep)
+    # registration prior must be meaningfully aligned on synthetic ellipsoids
+    assert res["dsc_affine"] is not None and res["dsc_affine"] > 0.5
+    assert res["dsc_fewshot"] is not None
+    assert set(res["dsc_refinement"].keys()) == {0, 1}
+    assert res["ncc_warped"] <= res["ncc_raw"] + 0.05  # warped aligns better
+    assert res["prediction"].shape[1:] == (H, W)
+
+
+def test_cli_end_to_end(synth, tmp_path, capsys):
+    """The full CLI drive: yaml → episodes → aggregated mean±std block."""
+    import yaml as pyyaml
+
+    from rpnet_tpu.cli import test_rpnet as cli
+
+    cfg = small_config(synth, n_runs=1, out_dir=str(tmp_path / "out"))
+    ypath = str(tmp_path / "cfg.yml")
+    with open(ypath, "w") as f:
+        pyyaml.safe_dump(cfg.to_dict(), f)
+    results = cli.main(["--yaml", ypath])
+    assert results is not None
+    assert "Liver" in results["classes"]
+    aff_mean = results["classes"]["Liver"]["affine"][0]
+    assert 0.3 < aff_mean <= 1.0
+    assert os.path.exists(str(tmp_path / "out" / "results_eval.json"))
+    assert os.path.exists(str(tmp_path / "out" / "log_eval"))
