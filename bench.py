@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Headline benchmark: episodic eval throughput on an Abd-110-shaped workload.
+
+Workload per episode (matching yamls/example.yml eval semantics):
+  * 32 query slices @ 256² (one slice bucket), 1-way 1-shot;
+  * 50-iteration affine registration fit per slice (do_deformable: False);
+  * U-Net backbone, CRE radius 5, 10 refinement iterations;
+  * on-device Dice/NCC metrics.
+
+Prints ONE JSON line:
+  {"metric": "episodes/sec", "value": N, "unit": "episodes/sec",
+   "vs_baseline": N}
+where the baseline is the measured PyTorch-CPU reference throughput stored in
+bench_baseline.json (see bench_tools/baseline_torch.py; BASELINE.md §operational
+baseline — the repo publishes no numbers, so the anchor is self-measured).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_baseline.json")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--episodes", type=int, default=8)
+    ap.add_argument("--slices", type=int, default=32)
+    ap.add_argument("--crop", type=int, default=256)
+    ap.add_argument("--refine-iters", type=int, default=10)
+    ap.add_argument("--affine-iters", type=int, default=50)
+    ap.add_argument("--radius", type=int, default=5)
+    ap.add_argument("--fit-scale", type=int, default=4,
+                    help="registration fit resolution divisor (1 = reference-"
+                         "exact trajectory; theta is resolution-invariant)")
+    args = ap.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rpnet_tpu.config import Config
+    from rpnet_tpu.episode.pipeline import episode_metrics_fn
+    from rpnet_tpu.models.factory import model_factory
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.device_kind} ({dev.platform})")
+
+    H = W = args.crop
+    Dq = args.slices
+    cfg = Config({"backbone": "UNet", "crop_size": [H, W],
+                  "n_iter_refinement": args.refine_iters,
+                  "mask_refinement_correlation_radius": args.radius})
+    model = model_factory["RP_Net"](cfg, num_iter=args.refine_iters)
+
+    dummy = (jnp.zeros((1, 1, 1, H, W, 1)), jnp.zeros((1, 1, 1, H, W)),
+             jnp.ones((1, 1, 1, H, W)), jnp.zeros((1, H, W, 1)),
+             jnp.zeros((1, H, W)))
+    t0 = time.time()
+    try:  # init on host CPU (seconds) instead of compiling init over the wire
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            variables = model.init(jax.random.PRNGKey(0), *dummy, train=False)
+        variables = jax.device_put(variables, dev)
+    except RuntimeError:
+        variables = model.init(jax.random.PRNGKey(0), *dummy, train=False)
+    log(f"init: {time.time() - t0:.1f}s")
+
+    fn = jax.jit(episode_metrics_fn(model, affine_iters=args.affine_iters,
+                                    demons_iters=0, fit_scale=args.fit_scale))
+
+    # synthetic episodes: misaligned ellipse organs (registration has real work)
+    rng = np.random.RandomState(0)
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+
+    def organ(cy, cx, ry, rx):
+        return ((((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2) < 1).astype(np.float32)
+
+    def episode(seed):
+        r = np.random.RandomState(seed)
+        sl = organ(H * r.uniform(.4, .5), W * r.uniform(.4, .5), H * .2, W * .15)
+        ql = organ(H * r.uniform(.5, .6), W * r.uniform(.5, .6), H * .21, W * .16)
+        s = np.repeat(sl[None], Dq, 0)
+        q = np.repeat(ql[None], Dq, 0)
+        si = (s * .8 - .5 + .05 * r.randn(Dq, H, W)).astype(np.float32)
+        qi = (q * .8 - .5 + .05 * r.randn(Dq, H, W)).astype(np.float32)
+        return (jnp.asarray(si[None]), jnp.asarray(s[None]),
+                jnp.asarray(qi), jnp.asarray(q), jnp.ones((Dq,), jnp.float32))
+
+    eps = [episode(i) for i in range(max(2, min(args.episodes, 4)))]
+
+    t0 = time.time()
+    out = fn(variables, *eps[0])
+    _ = float(np.asarray(out["dsc_affine"]))   # force full round trip
+    log(f"compile+first episode: {time.time() - t0:.1f}s")
+
+    # steady state: queue all episodes, then fetch a scalar from each so the
+    # measured wall time covers real device execution (not just dispatch)
+    t0 = time.time()
+    outs = [fn(variables, *eps[i % len(eps)]) for i in range(args.episodes)]
+    scalars = [float(np.asarray(o["dsc_affine"])) for o in outs]
+    wall = time.time() - t0
+    out = outs[-1]
+    eps_per_sec = args.episodes / wall
+    slices_per_sec = eps_per_sec * Dq
+    log(f"{args.episodes} episodes in {wall:.2f}s → {eps_per_sec:.3f} eps/s, "
+        f"{slices_per_sec:.1f} slices/s; dsc_affine={float(out['dsc_affine']):.3f}")
+
+    baseline = None
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            baseline = json.load(f).get("episodes_per_sec")
+    vs_baseline = (eps_per_sec / baseline) if baseline else None
+
+    print(json.dumps({"metric": "episodes/sec", "value": round(eps_per_sec, 4),
+                      "unit": "episodes/sec",
+                      "vs_baseline": round(vs_baseline, 2) if vs_baseline else None}))
+
+
+if __name__ == "__main__":
+    main()

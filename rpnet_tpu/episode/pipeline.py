@@ -28,7 +28,8 @@ from rpnet_tpu.episode.sampler import Episode
 from rpnet_tpu.registration.fit import register_episode
 
 
-def episode_metrics_fn(model, affine_iters: int, demons_iters: int):
+def episode_metrics_fn(model, affine_iters: int, demons_iters: int,
+                       fit_scale: int = 1):
     """Build the pure episode function for `model` (un-jitted)."""
 
     def fn(variables, supp_img, supp_lab, qry_img, qry_lab, slice_mask):
@@ -36,7 +37,8 @@ def episode_metrics_fn(model, affine_iters: int, demons_iters: int):
         # ---- stage 1: registration prior (shot 0, like the reference) ----
         reg = register_episode(supp_img[0], qry_img, supp_lab[0],
                                affine_iters=affine_iters,
-                               demons_iters=demons_iters)
+                               demons_iters=demons_iters,
+                               fit_scale=fit_scale)
         appr = reg.warped_label                        # (Dq, H, W)
 
         # ---- stage 2: network ----
@@ -87,7 +89,8 @@ class EpisodeRunner:
         affine_iters = int(config.get("reg_affine_iters", 50))
         demons_iters = (int(config.get("reg_demons_iters", 50))
                         if config.get("do_deformable", False) else 0)
-        fn = episode_metrics_fn(model, affine_iters, demons_iters)
+        fit_scale = int(config.get("reg_fit_scale", 1))
+        fn = episode_metrics_fn(model, affine_iters, demons_iters, fit_scale)
         self._jitted = jax.jit(fn)
 
     def pad(self, ep: Episode):

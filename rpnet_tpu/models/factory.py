@@ -29,10 +29,15 @@ def build_rpnet(config, align: bool = True, num_iter: int | None = None) -> RPNe
 
 
 def build_lgcanet(config, align: bool = True, num_iter=None):
+    """LGCANet_V3 from config (reference ctor: lgca_net_v3.py:580-590 —
+    output channels = len(roi_names), 2D net chosen by `net_UNet`)."""
     from rpnet_tpu.models.lgca import LGCANetV3
     get = config.get if hasattr(config, "get") else config.__getitem__
-    return LGCANetV3(norm=get("unet_normalize_type", "BatchNorm2d"),
-                     output_ch=get("num_class", 6))
+    rois = get("roi_names", None) or ["roi"] * int(get("num_class", 6))
+    return LGCANetV3(output_ch=len(rois),
+                     norm=get("unet_normalize_type", "BatchNorm2d"),
+                     feature_scale=float(get("feature_scale", 1.0)),
+                     attention_gates=(get("net_UNet", "U_Net") == "AttU_Net"))
 
 
 model_factory = {

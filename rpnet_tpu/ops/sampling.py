@@ -184,6 +184,50 @@ def resize_transpose(cot, src_size: Tuple[int, int], align_corners: bool = False
 
 
 # --------------------------------------------------------------------------
+# separable grid_sample (matmul path for structured grids)
+# --------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _bilinear_weights_1d(src: int, coords_key, align_corners: bool) -> np.ndarray:
+    """(dst, src) bilinear weight matrix for arbitrary 1-D normalized coords,
+    with grid_sample ZERO-padding semantics (weights vanish outside [0, src-1])."""
+    coords = np.asarray(coords_key, dtype=np.float64)
+    if align_corners:
+        pos = (coords + 1.0) * 0.5 * (src - 1)
+    else:
+        pos = ((coords + 1.0) * src - 1.0) * 0.5
+    idx = np.arange(src)[None, :]
+    w = np.maximum(0.0, 1.0 - np.abs(pos[:, None] - idx))
+    return w.astype(np.float32)
+
+
+def separable_grid_sample(x, xs, ys, align_corners: bool = False):
+    """``grid_sample`` for SEPARABLE grids: sample x-coordinate depends only on
+    the output column and y only on the row (e.g. the identity grid of
+    net/registration.py:171-187, or any axis-aligned scale+translate warp).
+
+    Mathematically identical to :func:`grid_sample` on the outer-product grid,
+    but runs as two dense matmuls on the MXU instead of 65k-point gathers —
+    the reason the zero-flow demons resample in registration/fit.py is cheap.
+
+    x: (N, H, W, C); xs: (Wo,) and ys: (Ho,) normalized coords (host values).
+    """
+    N, H, W, C = x.shape
+    Wy = jnp.asarray(_bilinear_weights_1d(H, tuple(np.asarray(ys).tolist()),
+                                          align_corners), dtype=x.dtype)
+    Wx = jnp.asarray(_bilinear_weights_1d(W, tuple(np.asarray(xs).tolist()),
+                                          align_corners), dtype=x.dtype)
+    out = jnp.einsum("oh,nhwc->nowc", Wy, x, precision="highest")
+    out = jnp.einsum("ow,nhwc->nhoc", Wx, out, precision="highest")
+    return out
+
+
+def identity_grid_coords_1d(size: int):
+    """The reference identity grid's per-axis normalized coords ((S-1) rule)."""
+    return 2.0 * (np.arange(size) / (size - 1) - 0.5)
+
+
+# --------------------------------------------------------------------------
 # pooling
 # --------------------------------------------------------------------------
 

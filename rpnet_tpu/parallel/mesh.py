@@ -1,0 +1,83 @@
+"""Device mesh + sharding rules — the comm layer the reference never had.
+
+The reference's only parallelism is single-process ``data_parallel``
+scatter/gather (SURVEY.md §2.2). Here scaling is a first-class
+``jax.sharding.Mesh`` with two axes:
+
+  * ``data``  — episodes (training) / query slices (eval). Sharding the
+    z-slice axis of a volume across chips is this workload's analogue of
+    sequence parallelism (SURVEY.md §5): each chip registers+encodes its
+    slice shard; the only cross-chip traffic is the Dice/NCC reductions
+    (psum over ICI, inserted by GSPMD).
+  * ``model`` — optional tensor-parallel axis: output channels of the widest
+    conv kernels are sharded; GSPMD inserts the all-gathers. At this model
+    scale (≤30M params) it exists to prove the mechanism, not for memory.
+
+Multi-host: ``jax.distributed.initialize`` before ``make_mesh`` and the same
+code runs over DCN+ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(shape: Optional[Dict[str, int]] = None, devices=None) -> Mesh:
+    """Build a mesh. Default: all devices on the ``data`` axis."""
+    devices = devices if devices is not None else jax.devices()
+    if not shape:
+        shape = {"data": len(devices), "model": 1}
+    if "model" not in shape:
+        shape = dict(shape, model=1)
+    total = int(np.prod(list(shape.values())))
+    if total != len(devices):
+        raise ValueError(f"mesh shape {shape} needs {total} devices, "
+                         f"have {len(devices)}")
+    arr = np.asarray(devices).reshape([shape[a] for a in ("data", "model")])
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_slices(mesh: Mesh, ndim: int, slice_axis: int = 0) -> NamedSharding:
+    """Shard a given axis over ``data``; other axes replicated."""
+    spec = [None] * ndim
+    spec[slice_axis] = "data"
+    return NamedSharding(mesh, P(*spec))
+
+
+def param_sharding_rule(path: Sequence, leaf, mesh: Mesh,
+                        min_channels: int = 256) -> NamedSharding:
+    """Tensor-parallel rule: shard conv-kernel output channels ≥min_channels
+    over ``model``; everything else replicated.
+
+    Conv kernels are HWIO — output channels last. BatchNorm/bias vectors stay
+    replicated (they're tiny and feed elementwise ops).
+    """
+    if mesh.shape.get("model", 1) == 1:
+        return replicated(mesh)
+    shape = getattr(leaf, "shape", ())
+    names = [getattr(p, "key", str(p)) for p in path]
+    is_kernel = names and names[-1] == "kernel"
+    if is_kernel and len(shape) == 4 and shape[-1] >= min_channels \
+            and shape[-1] % mesh.shape["model"] == 0:
+        return NamedSharding(mesh, P(None, None, None, "model"))
+    return replicated(mesh)
+
+
+def shard_params(variables, mesh: Mesh, min_channels: int = 256):
+    """Apply the TP rule to a variable pytree → tree of NamedShardings."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: param_sharding_rule(path, leaf, mesh, min_channels),
+        variables)
+
+
+def device_put_sharded_tree(tree, shardings):
+    return jax.tree_util.tree_map(jax.device_put, tree, shardings)

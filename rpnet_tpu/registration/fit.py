@@ -48,17 +48,30 @@ class RegistrationResult(NamedTuple):
 
 def register_slice(src, dst, src_label, *, affine_iters: int = 50,
                    demons_iters: int = 0, lr: float = 0.01, sigma: float = 2.0,
-                   diffeo_scaling: int = 10):
+                   diffeo_scaling: int = 10, fit_scale: int = 1):
     """Register one support slice onto one query slice.
 
     src, dst: (H, W) images in [-1, 1]; src_label: (H, W) binary.
+
+    ``fit_scale`` > 1 runs the affine FIT on an avg-pooled image (theta in
+    normalized coordinates is resolution-invariant) while every warp output
+    stays full-resolution — a pure-performance knob: the 50-iteration Adam
+    loop is gather-bound on TPU and its cost drops quadratically with scale.
+    fit_scale=1 reproduces the reference trajectory exactly.
     """
     H, W = src.shape
     src01 = ((src + 1.0) * 0.5)[..., None]     # (H, W, 1)
     dst01 = ((dst + 1.0) * 0.5)[..., None]
     label = src_label[..., None]
 
-    theta, _ = fit_affine(src01, dst01, iters=affine_iters, lr=lr)
+    if fit_scale > 1:
+        from rpnet_tpu.ops.sampling import avg_pool2d
+        src_fit = avg_pool2d(src01[None], fit_scale)[0]
+        dst_fit = avg_pool2d(dst01[None], fit_scale)[0]
+    else:
+        src_fit, dst_fit = src01, dst01
+
+    theta, _ = fit_affine(src_fit, dst_fit, iters=affine_iters, lr=lr)
 
     affined_src01 = affine_warp(src01, theta)
     flow, _ = fit_demons(affined_src01, dst01, iters=demons_iters, lr=lr,
@@ -68,10 +81,22 @@ def register_slice(src, dst, src_label, *, affine_iters: int = 50,
     grid_chw = compute_grid((H, W), dtype=src.dtype)[0]
 
     affine_lab = affine_warp(label, theta)
-    warped_lab = demons_warp(affine_lab, flow, grid_chw, diffeomorphic=True,
-                             scaling=diffeo_scaling)
-    warped_src01 = demons_warp(affined_src01, flow, grid_chw, diffeomorphic=True,
-                               scaling=diffeo_scaling)
+    if demons_iters == 0:
+        # flow ≡ 0: diffeomorphic integration of zero is exactly zero, and the
+        # zero-flow demons warp is a resample through the static identity grid
+        # — a SEPARABLE grid, so it runs as two matmuls instead of gathers
+        # (mathematically identical to the gather path; see ops/sampling.py).
+        from rpnet_tpu.ops.sampling import (identity_grid_coords_1d,
+                                            separable_grid_sample)
+        xs = identity_grid_coords_1d(W)
+        ys = identity_grid_coords_1d(H)
+        warped_lab = separable_grid_sample(affine_lab[None], xs, ys)[0]
+        warped_src01 = separable_grid_sample(affined_src01[None], xs, ys)[0]
+    else:
+        warped_lab = demons_warp(affine_lab, flow, grid_chw, diffeomorphic=True,
+                                 scaling=diffeo_scaling)
+        warped_src01 = demons_warp(affined_src01, flow, grid_chw,
+                                   diffeomorphic=True, scaling=diffeo_scaling)
 
     return RegistrationResult(
         theta=theta,
@@ -84,16 +109,18 @@ def register_slice(src, dst, src_label, *, affine_iters: int = 50,
     )
 
 
-@partial(jax.jit, static_argnames=("affine_iters", "demons_iters", "diffeo_scaling"))
+@partial(jax.jit, static_argnames=("affine_iters", "demons_iters",
+                                   "diffeo_scaling", "fit_scale"))
 def register_episode(support_imgs, query_imgs, support_labels, *,
                      affine_iters: int = 50, demons_iters: int = 0,
                      lr: float = 0.01, sigma: float = 2.0,
-                     diffeo_scaling: int = 10) -> RegistrationResult:
+                     diffeo_scaling: int = 10,
+                     fit_scale: int = 1) -> RegistrationResult:
     """vmap :func:`register_slice` over the slice axis.
 
     support_imgs, query_imgs: (S, H, W) in [-1, 1]; support_labels: (S, H, W).
     """
     fn = partial(register_slice, affine_iters=affine_iters,
                  demons_iters=demons_iters, lr=lr, sigma=sigma,
-                 diffeo_scaling=diffeo_scaling)
+                 diffeo_scaling=diffeo_scaling, fit_scale=fit_scale)
     return jax.vmap(fn)(support_imgs, query_imgs, support_labels)

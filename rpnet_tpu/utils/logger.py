@@ -17,6 +17,8 @@ class Logger:
     def write(self, message: str):
         self.terminal.write(message)
         self.log.write(message)
+        if "\n" in message:   # line-buffered tee so progress is observable
+            self.log.flush()
 
     def flush(self):
         self.terminal.flush()

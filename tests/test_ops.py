@@ -141,3 +141,25 @@ def test_local_correlation_equals_reference_formulation(rng, r):
     np.testing.assert_allclose(ours_exact, ref, atol=2e-4)
     np.testing.assert_allclose(ours_local, ref, atol=2e-4)
     np.testing.assert_allclose(ours_local, ours_exact, atol=2e-4)
+
+
+def test_separable_grid_sample_matches_gather_path(rng):
+    """Matmul path ≡ gather grid_sample on an outer-product grid."""
+    from rpnet_tpu.ops.sampling import (grid_sample, identity_grid_coords_1d,
+                                        separable_grid_sample)
+    x = jnp.asarray(rng.randn(2, 9, 11, 3).astype(np.float32))
+    xs = identity_grid_coords_1d(11)
+    ys = identity_grid_coords_1d(9)
+    gx, gy = np.meshgrid(xs, ys)
+    grid = jnp.asarray(np.stack([gx, gy], -1)[None].repeat(2, 0).astype(np.float32))
+    ref = np.asarray(grid_sample(x, grid, align_corners=False))
+    ours = np.asarray(separable_grid_sample(x, xs, ys, align_corners=False))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+    # and with arbitrary separable coords incl. out-of-bounds
+    xs2 = np.linspace(-1.3, 1.2, 7)
+    ys2 = np.linspace(-0.9, 1.4, 5)
+    gx2, gy2 = np.meshgrid(xs2, ys2)
+    grid2 = jnp.asarray(np.stack([gx2, gy2], -1)[None].repeat(2, 0).astype(np.float32))
+    ref2 = np.asarray(grid_sample(x, grid2, align_corners=False))
+    ours2 = np.asarray(separable_grid_sample(x, xs2, ys2, align_corners=False))
+    np.testing.assert_allclose(ours2, ref2, atol=1e-5)
