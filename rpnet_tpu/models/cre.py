@@ -28,6 +28,7 @@ NUM_FEAT = 64
 
 class ContextCorrelationEncoder(nn.Module):
     radius: int = 5
+    use_pallas: bool = True   # VMEM-resident kernel on TPU (ops/pallas)
 
     @nn.compact
     def __call__(self, fm1, fm2, train: bool = False):
@@ -40,7 +41,11 @@ class ContextCorrelationEncoder(nn.Module):
         fm2 = Norm2d(name="w_q_norm")(fm2, train)
         fm2 = nn.relu(fm2)
 
-        corr = local_correlation(fm1, fm2, self.radius)  # (B, h, w, (2r+1)²)
+        if self.use_pallas:
+            from rpnet_tpu.ops.pallas.correlation import local_correlation_auto
+            corr = local_correlation_auto(fm1, fm2, self.radius)
+        else:
+            corr = local_correlation(fm1, fm2, self.radius)  # (B, h, w, (2r+1)²)
         x = jnp.concatenate([corr, fm1], axis=-1)
         x = TorchConv(NUM_FEAT, (1, 1), name="q_conv")(x)
         x = Norm2d(name="q_norm")(x, train)

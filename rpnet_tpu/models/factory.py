@@ -25,6 +25,7 @@ def build_rpnet(config, align: bool = True, num_iter: int | None = None) -> RPNe
         soft_mask=bool(get("soft_mask", False)),
         use_relation_enc=get("use_relation_enc", "relation"),
         align=align,
+        use_pallas=bool(get("use_pallas", True)),
     )
 
 

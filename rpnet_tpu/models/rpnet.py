@@ -96,6 +96,7 @@ class RPNet(nn.Module):
     use_relation_enc: str = "relation"
     align: bool = True
     dist_scaler: float = 20.0
+    use_pallas: bool = True
 
     def setup(self):
         if self.backbone == "vgg":
@@ -109,7 +110,9 @@ class RPNet(nn.Module):
         else:
             raise NotImplementedError(self.backbone)
         if self.use_relation_enc == "relation":
-            self.cre = ContextCorrelationEncoder(radius=self.radius, name="cre")
+            self.cre = ContextCorrelationEncoder(radius=self.radius,
+                                                 use_pallas=self.use_pallas,
+                                                 name="cre")
         elif self.use_relation_enc == "concat":
             self.sim_cat = SimpleConcat(name="sim_cat")
         else:

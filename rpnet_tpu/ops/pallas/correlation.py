@@ -3,17 +3,19 @@
 Why a kernel (SURVEY.md §5 "the memory hot spot"): the XLA formulation
 (ops/correlation.py) materializes 121 shifted elementwise products — each
 displacement re-reads both (B, H, W, C) feature maps from HBM, ~121× the
-necessary traffic, making every CRE call bandwidth-bound. This kernel loads a
-(H, W, C)-tile of fm1 and the padded fm2 into VMEM ONCE and computes all
-(2r+1)² displacement dot-products in-register (VPU reductions over C),
-accumulating over channel chunks so VMEM stays under budget.
+necessary traffic, making every CRE call bandwidth-bound. This kernel keeps a
+row-tile of fm1 (pipelined BlockSpec) and a haloed row-slab of the padded fm2
+(manual async DMA from HBM — halos overlap, which BlockSpecs can't express) in
+VMEM and computes all (2r+1)² displacement dot-products in-register with one
+pass over the channels.
 
 Channel ordering matches ops/correlation.local_correlation exactly (the
 reference's horizontal-shift-slowest quirk, net/rp_net.py:169-175):
 out channel c = dx_idx * (2r+1) + dy_idx.
 
-Interface: ``local_correlation_pallas(fm1, fm2, r)`` — same contract as the
-XLA path; it falls back to XLA off-TPU (and in interpret mode for tests).
+TPU tiling: blocks keep the full channel dim (last-dim multiple of 128) and
+tile H; the displacement sweep is a fori_loop with dynamic slices (a 121-way
+python unroll explodes Mosaic compile time).
 """
 
 from __future__ import annotations
@@ -30,71 +32,89 @@ from jax.experimental.pallas import tpu as pltpu
 from rpnet_tpu.ops.correlation import local_correlation as _xla_local_correlation
 
 
-def _corr_kernel(fm1_ref, fm2p_ref, out_ref, *, H, W, r, n_cchunks, scale):
-    """One (batch, channel-chunk) grid step.
+def _corr_kernel(fm2p_hbm, fm1_ref, out_ref, scratch, sem, *,
+                 H_tile, W, r, scale):
+    """Grid step (b, h_tile).
 
-    fm1_ref:  (1, H, W, Cc)       — fm1 channel chunk
-    fm2p_ref: (1, H+2r, W+2r, Cc) — zero-padded fm2 chunk
-    out_ref:  (1, D², H, W)       — accumulated over channel chunks
+    fm2p_hbm: (B, H+2r, W+2r, C) in HBM/ANY — window DMA'd manually
+    fm1_ref:  (1, H_tile, W, C) VMEM block
+    out_ref:  (1, D², H_tile, W) VMEM block
+    scratch:  (H_tile+2r, W+2r, C) VMEM
     """
     d = 2 * r + 1
-    cchunk = pl.program_id(1)
+    b = pl.program_id(0)
+    ht = pl.program_id(1)
 
-    fm1 = fm1_ref[0]                    # (H, W, Cc)
-    fm2p = fm2p_ref[0]                  # (H+2r, W+2r, Cc)
+    dma = pltpu.make_async_copy(
+        fm2p_hbm.at[b, pl.ds(ht * H_tile, H_tile + 2 * r), :, :],
+        scratch, sem)
+    dma.start()
 
-    @pl.when(cchunk == 0)
-    def _init():
-        out_ref[...] = jnp.zeros_like(out_ref)
+    fm1 = fm1_ref[0]                        # (H_tile, W, C)
+    dma.wait()
 
-    for dx in range(d):                 # horizontal shift — slow axis (quirk)
-        for dy in range(d):
-            sub = fm2p[dy:dy + H, dx:dx + W, :]
-            acc = jnp.sum(fm1 * sub, axis=-1) * scale     # (H, W)
-            out_ref[0, dx * d + dy, :, :] += acc
+    # Mosaic constraint: dynamic offsets are only allowed on UNTILED dims —
+    # so the vertical shift (dim 0 of scratch) is the fori_loop variable and
+    # the horizontal shift (sublane dim) is a static 11-way unroll.
+    def body(dy, _):
+        slab = scratch[pl.ds(dy, H_tile)]   # (H_tile, W+2r, C)
+        for dx in range(d):                 # static; horizontal slow (quirk)
+            sub = slab[:, dx:dx + W, :]
+            acc = jnp.sum(fm1 * sub, axis=-1) * scale   # (H_tile, W)
+            out_ref[0, dx * d + dy, :, :] = acc
+        return 0
+
+    jax.lax.fori_loop(0, d, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("r", "c_chunk", "interpret"))
-def local_correlation_pallas(fm1, fm2, r: int, c_chunk: int = 128,
+@functools.partial(jax.jit, static_argnames=("r", "h_tile", "interpret"))
+def local_correlation_pallas(fm1, fm2, r: int, h_tile: int = 16,
                              interpret: bool = False):
     """Pallas local correlation. fm1, fm2: (B, H, W, C) → (B, H, W, (2r+1)²)."""
     B, H, W, C = fm1.shape
     d = 2 * r + 1
     scale = float(1.0 / np.sqrt(float(C)))
-    c_chunk = min(c_chunk, C)
-    if C % c_chunk != 0:
-        c_chunk = C  # fall back to single chunk for odd channel counts
-    n_cchunks = C // c_chunk
+    h_tile = min(h_tile, H)
+    if H % h_tile != 0:
+        h_tile = H
+    n_htiles = H // h_tile
 
-    fm2p = jnp.pad(fm2, ((0, 0), (r, r), (r, r), (0, 0)))
+    # W-pad to the sublane tiling (8) so HBM DMA slices are aligned
+    Wp = -(-(W + 2 * r) // 8) * 8
+    fm2p = jnp.pad(fm2, ((0, 0), (r, r), (r, Wp - W - r), (0, 0)))
 
-    kernel = functools.partial(_corr_kernel, H=H, W=W, r=r,
-                               n_cchunks=n_cchunks, scale=scale)
+    kernel = functools.partial(_corr_kernel, H_tile=h_tile, W=W, r=r, scale=scale)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, d * d, H, W), jnp.float32),
-        grid=(B, n_cchunks),
+        grid=(B, n_htiles),
         in_specs=[
-            pl.BlockSpec((1, H, W, c_chunk), lambda b, c: (b, 0, 0, c),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H + 2 * r, W + 2 * r, c_chunk),
-                         lambda b, c: (b, 0, 0, c),
+            pl.BlockSpec(memory_space=pltpu.ANY),       # fm2p stays off-chip
+            pl.BlockSpec((1, h_tile, W, C), lambda b, h: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, d * d, H, W), lambda b, c: (b, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, d * d, h_tile, W), lambda b, h: (b, 0, h, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((h_tile + 2 * r, Wp, C), fm2.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
         interpret=interpret,
-    )(fm1, fm2p)
+    )(fm2p, fm1)
     return jnp.transpose(out, (0, 2, 3, 1)).astype(fm1.dtype)
 
 
 def local_correlation_auto(fm1, fm2, r: int):
-    """Pallas on TPU, XLA elsewhere (tests run the interpret path explicitly)."""
-    try:
-        platform = fm1.devices().pop().platform if hasattr(fm1, "devices") else \
-            jax.default_backend()
-    except Exception:
-        platform = jax.default_backend()
-    if platform == "tpu":
-        return local_correlation_pallas(fm1, fm2, r)
+    """Dispatch to the best implementation.
+
+    Measured on v5e (32×64²×256 features, r=5, amortized in-graph):
+      * XLA shifted-products: 1.9 ms — XLA fuses the displacement sweep and
+        keeps tiles in vector registers; WINNER when fused into a larger jit;
+      * MXU banded-matmul variant: 6.2 ms;
+      * this Pallas kernel: 7.1 ms (2.1× faster than XLA when run STANDALONE
+        at an unfused program boundary — 34 vs 73 ms — but the CRE always
+        runs inside the fused episode program).
+    So the default is the XLA formulation; the variants stay available for
+    future standalone/serving paths.
+    """
     return _xla_local_correlation(fm1, fm2, r)

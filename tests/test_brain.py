@@ -1,0 +1,112 @@
+"""BrainReader / boxes / elastic augmentation tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from rpnet_tpu.core import nrrd_io
+from rpnet_tpu.core.boxes import (annotation2masks, center_box_to_coord_box,
+                                  clip_boxes, coord_box_to_center_box,
+                                  ext2factor, masks2bboxes_masks, py_box_overlap,
+                                  py_nms)
+from rpnet_tpu.episode.brain import (BrainReader, Crop, elastic_transform_all,
+                                     keep_only_annotation_region)
+
+
+def test_box_roundtrip(rng):
+    boxes = np.abs(rng.randn(5, 6)) * 10 + 5
+    back = coord_box_to_center_box(center_box_to_coord_box(boxes))
+    np.testing.assert_allclose(back, boxes, atol=1e-9)
+
+
+def test_ext2factor_and_clip():
+    b = np.array([[3, 5, 9, 12, 13, 17]], dtype=np.int64)
+    e = ext2factor(b.copy(), 8)
+    np.testing.assert_array_equal(e, [[0, 0, 8, 16, 16, 24]])
+    c = clip_boxes(e.astype(np.float64), (10, 10, 10))
+    assert c.max() <= 10
+
+
+def test_nms_and_overlap():
+    dets = np.array([
+        [0.9, 5, 5, 5, 4, 4, 4],
+        [0.8, 5, 5, 5.5, 4, 4, 4],   # heavy overlap with first
+        [0.7, 20, 20, 20, 4, 4, 4],  # far away
+    ])
+    keep = py_nms(dets, 0.3)
+    assert keep == [0, 2]
+    ov = py_box_overlap(dets[:1, 1:], dets[:, 1:])
+    assert ov[0, 0] == pytest.approx(1.0)
+    assert ov[0, 2] == 0.0
+
+
+def test_masks_to_bboxes_and_back():
+    masks = np.zeros((2, 8, 16, 16), np.float32)
+    masks[1, 2:6, 4:12, 5:9] = 1
+    bboxes, kept = masks2bboxes_masks(masks, border=2)
+    assert len(bboxes) == 1 and bboxes[0][-1] == 2    # class index 1-based
+    cz, cy, cx = bboxes[0][:3]
+    assert (cz, cy, cx) == ((2 + 5) / 2, (4 + 11) / 2, (5 + 8) / 2)
+
+
+def test_annotation2masks_returns_stack():
+    d = {"A": np.zeros((4, 6, 6)), "B": np.ones((4, 6, 6))}
+    out = annotation2masks(d, roi_names=["A", "B", "C"])
+    assert out.shape == (3, 4, 6, 6)
+    assert out[1].sum() == 4 * 6 * 6 and out[2].sum() == 0
+
+
+def test_elastic_transform_preserves_shape(rng):
+    np.random.seed(0)
+    img = rng.randn(1, 4, 32, 32).astype(np.float32)
+    mask = np.zeros((2, 4, 32, 32), np.float32)
+    mask[0, :, 10:20, 10:20] = 1
+    # alpha scaled down: reference default (1000) targets 256²-sized slices
+    out_img, out_mask = elastic_transform_all(img, mask, alpha=100,
+                                              random_state=np.random.RandomState(0))
+    assert out_img.shape == img.shape and out_mask.shape == mask.shape
+    assert set(np.unique(out_mask)) <= {0.0, 1.0}
+    assert out_mask[0].sum() > 0   # organ survives the deformation
+
+
+@pytest.fixture(scope="module")
+def brain_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("brain")
+    rng = np.random.RandomState(0)
+    pids = ["b000", "b001"]
+    for pid in pids:
+        vol = (rng.randn(12, 48, 48) * 30).astype(np.int16)
+        nrrd_io.write(str(root / f"{pid}_clean.nrrd"), vol)
+        m = np.zeros((12, 48, 48), np.uint8)
+        m[3:9, 14:30, 16:32] = 1
+        nrrd_io.write(str(root / f"{pid}_BrainStem.nrrd"), m)
+    split = root / "split.csv"
+    split.write_text("\n".join(pids) + "\n")
+    return str(root), str(split)
+
+
+def _brain_cfg():
+    return {
+        "num_slice": 16, "num_x": 48, "num_y": 48,
+        "train_max_crop_size": [16, 48, 48], "pad_value": -1024,
+        "jitter_range": [1, 2, 2], "HU_range": [-1024, 3072],
+        "bbox_border": 2, "do_elastic": True,
+        "roi_names": ["BrainStem"],
+    }
+
+
+def test_brain_reader_train_and_eval(brain_dataset):
+    data_dir, split = brain_dataset
+    np.random.seed(0)
+    r = BrainReader(data_dir, split, _brain_cfg(), mode="train")
+    assert len(r) == 2
+    inp, bboxes, labels, tmasks, masks = r[0]
+    assert inp.ndim == 4 and inp.shape[0] == 1
+    assert inp.min() >= -1.0 - 1e-6 and inp.max() <= 1.0 + 1e-6
+    assert labels[0] == 1 and tmasks.shape[0] == 1
+
+    r_eval = BrainReader(data_dir, split, _brain_cfg(), mode="eval")
+    out = r_eval[1]
+    assert len(out) == 7   # adds original_img + shifts
+    assert len(out[6]) == 3

@@ -163,3 +163,29 @@ def test_separable_grid_sample_matches_gather_path(rng):
     ref2 = np.asarray(grid_sample(x, grid2, align_corners=False))
     ours2 = np.asarray(separable_grid_sample(x, xs2, ys2, align_corners=False))
     np.testing.assert_allclose(ours2, ref2, atol=1e-5)
+
+
+@pytest.mark.parametrize("r,h_tile", [(2, 8), (5, 16)])
+def test_pallas_correlation_matches_xla(rng, r, h_tile):
+    """Pallas kernel (interpret mode on CPU) ≡ the XLA local correlation."""
+    from rpnet_tpu.ops.pallas.correlation import local_correlation_pallas
+
+    B, H, W, C = 2, 16, 16, 64
+    f1 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    ref = np.asarray(local_correlation(f1, f2, r))
+    out = np.asarray(local_correlation_pallas(f1, f2, r, h_tile=h_tile,
+                                              interpret=True))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_mxu_correlation_matches_local(rng):
+    from rpnet_tpu.ops.correlation import local_correlation_mxu
+
+    B, H, W, C = 2, 12, 10, 32
+    f1 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    for r in (1, 3):
+        ref = np.asarray(local_correlation(f1, f2, r))
+        out = np.asarray(local_correlation_mxu(f1, f2, r, precision="highest"))
+        np.testing.assert_allclose(out, ref, atol=1e-5)

@@ -1,0 +1,82 @@
+"""Offline preprocessing tests: Otsu/morphology body masking, abd110 chain,
+DICOM geometry (pydicom-free parts)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from rpnet_tpu.core import nrrd_io
+from rpnet_tpu.preprocess.abd110 import preprocess_patient, write_class_csvs
+from rpnet_tpu.preprocess.dicom import contour_mm_to_pixels, rasterize_contours
+from rpnet_tpu.preprocess.morphology import (body_mask_slice, otsu_threshold,
+                                             otsu_threshold_jax)
+
+
+def test_otsu_separates_bimodal(rng):
+    a = rng.normal(-1000, 30, 3000)
+    b = rng.normal(50, 30, 3000)
+    img = np.concatenate([a, b]).reshape(60, 100)
+    t = otsu_threshold(img)
+    assert -950 < t < -100
+    tj = float(otsu_threshold_jax(img.astype(np.float32)))
+    assert abs(tj - t) < 60   # bin-center discretization differences
+
+
+def test_body_mask_slice(rng):
+    H = W = 96
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    body = (((yy - 48) / 36) ** 2 + ((xx - 48) / 40) ** 2) < 1
+    img = np.full((H, W), -1000.0)
+    img[body] = 30 + rng.randn(body.sum()) * 20
+    # couch artifact far from center — must be removed by the center component
+    img[90:94, 10:80] = 100
+    mask = body_mask_slice(img, radius=5)
+    assert mask[48, 48] == 1
+    assert mask[92, 45] == 0            # couch removed
+    inter = (mask.astype(bool) & body).sum()
+    assert inter / body.sum() > 0.9     # body mostly covered
+
+
+def test_preprocess_patient_chain(tmp_path, rng):
+    data_dir = tmp_path / "standard"
+    pid = "p000"
+    (data_dir / pid / "structures").mkdir(parents=True)
+    D, H, W = 4, 64, 64
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    body = (((yy - 32) / 24) ** 2 + ((xx - 32) / 28) ** 2) < 1
+    vol = np.full((D, H, W), -1000.0, np.float32)
+    for i in range(D):
+        vol[i][body] = 40
+    organ = np.zeros((D, H, W), np.uint8)
+    organ[1:3, 24:40, 24:40] = 1
+    # standard layout stores (x, y, z)
+    nrrd_io.write(str(data_dir / pid / "img.nrrd"), np.swapaxes(vol, 0, -1))
+    nrrd_io.write(str(data_dir / pid / "structures" / "Liver.nrrd"),
+                  np.swapaxes(organ, 0, -1))
+
+    save_dir = str(tmp_path / "preprocessed")
+    res = preprocess_patient(pid, str(data_dir), save_dir, roi_names=["Liver"])
+    assert res["n_rois"] == 1
+    clean, _ = nrrd_io.read(os.path.join(save_dir, f"{pid}_clean.nrrd"))
+    assert clean.shape[0] == D
+    assert clean.shape[1] < H and clean.shape[2] < W   # cropped to body bbox
+    liver, _ = nrrd_io.read(os.path.join(save_dir, f"{pid}_Liver.nrrd"))
+    assert liver.shape == clean.shape
+    assert liver.sum() > 0
+
+    csv_dir = str(tmp_path / "classes")
+    write_class_csvs(save_dir, csv_dir, roi_names=["Liver"])
+    lines = open(os.path.join(csv_dir, "Liver.csv")).read().strip().splitlines()
+    assert lines[0] == "pid,z_start,z_end,path"
+    assert lines[1].startswith("p000,1,2,")
+
+
+def test_contour_rasterization():
+    # a 10mm square at origin (0,0), spacing 2mm → 5×5 px square
+    pts = np.array([[0, 0, 0], [10, 0, 0], [10, 10, 0], [0, 10, 0]], float)
+    px = contour_mm_to_pixels(pts, origin=(0, 0, 0), spacing=(2, 2))
+    np.testing.assert_array_equal(px, [[0, 0], [5, 0], [5, 5], [0, 5]])
+    mask = rasterize_contours([px], (8, 8))
+    assert mask[2, 2] == 1 and mask[0, 7] == 0
+    assert mask.sum() == 36  # inclusive 6×6 fill
