@@ -83,6 +83,7 @@ _DEFAULTS: Dict[str, Any] = {
     "reg_lr": 0.01,            # few_shot_reader.py:148-149
     "reg_sigma": 2.0,          # GaussianRegulariser sigma (few_shot_reader.py:150)
     "reg_fit_scale": 1,        # TPU perf knob: fit theta on a /N image (1 = reference-exact)
+    "reg_sampler": "matmul",   # bilinear impl in the fit: matmul (MXU-fast) | gather (torch-exact trajectory)
     # --- augmentation (example.yml:34,111-114) ---
     "do_elastic": True,
     "do_intaug": True,

@@ -29,7 +29,7 @@ from rpnet_tpu.registration.fit import register_episode
 
 
 def episode_metrics_fn(model, affine_iters: int, demons_iters: int,
-                       fit_scale: int = 1):
+                       fit_scale: int = 1, sampler: str = "matmul"):
     """Build the pure episode function for `model` (un-jitted)."""
 
     def fn(variables, supp_img, supp_lab, qry_img, qry_lab, slice_mask):
@@ -38,7 +38,7 @@ def episode_metrics_fn(model, affine_iters: int, demons_iters: int,
         reg = register_episode(supp_img[0], qry_img, supp_lab[0],
                                affine_iters=affine_iters,
                                demons_iters=demons_iters,
-                               fit_scale=fit_scale)
+                               fit_scale=fit_scale, sampler=sampler)
         appr = reg.warped_label                        # (Dq, H, W)
 
         # ---- stage 2: network ----
@@ -78,20 +78,46 @@ def episode_metrics_fn(model, affine_iters: int, demons_iters: int,
 
 
 class EpisodeRunner:
-    """Pads episodes to bucketed static shapes and runs the fused program."""
+    """Pads episodes to bucketed static shapes and runs the fused program.
 
-    def __init__(self, model, variables, config, donate: bool = False):
+    With ``mesh`` given, the query-slice axis shards over the mesh's ``data``
+    axis (this workload's sequence-parallel analogue, SURVEY.md §5): each chip
+    registers + encodes + refines its slice shard; only the Dice/NCC
+    reductions cross chips (GSPMD-inserted psums over ICI). The slice bucket
+    rounds up to a multiple of the data-axis size so shards stay equal.
+    """
+
+    def __init__(self, model, variables, config, donate: bool = False,
+                 mesh=None):
         self.model = model
-        self.variables = variables
         self.cfg = config
+        self.mesh = mesh
         self.bucket = int(config.get("slice_bucket", 32))
         self.max_slices = int(config.get("max_slices", 288))
         affine_iters = int(config.get("reg_affine_iters", 50))
         demons_iters = (int(config.get("reg_demons_iters", 50))
                         if config.get("do_deformable", False) else 0)
         fit_scale = int(config.get("reg_fit_scale", 1))
-        fn = episode_metrics_fn(model, affine_iters, demons_iters, fit_scale)
-        self._jitted = jax.jit(fn)
+        sampler = str(config.get("reg_sampler", "matmul"))
+        fn = episode_metrics_fn(model, affine_iters, demons_iters, fit_scale,
+                                sampler)
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_data = mesh.shape["data"]
+            self.bucket = -(-self.bucket // n_data) * n_data
+            self.max_slices = -(-self.max_slices // n_data) * n_data
+            rep = NamedSharding(mesh, P())
+            sl0 = NamedSharding(mesh, P("data"))                 # (Dq, H, W)
+            sl1 = NamedSharding(mesh, P(None, "data"))           # (Sh, Dq, H, W)
+            var_sh = jax.tree_util.tree_map(lambda _: rep, variables)
+            self._in_shardings = (var_sh, sl1, sl1, sl0, sl0, sl0)
+            self._jitted = jax.jit(fn, in_shardings=self._in_shardings)
+            self.variables = jax.device_put(variables, var_sh)
+        else:
+            self.variables = variables
+            self._jitted = jax.jit(fn)
 
     def pad(self, ep: Episode):
         Dq = ep.n_slices

@@ -46,8 +46,13 @@ class ContextCorrelationEncoder(nn.Module):
             corr = local_correlation_auto(fm1, fm2, self.radius)
         else:
             corr = local_correlation(fm1, fm2, self.radius)  # (B, h, w, (2r+1)²)
-        x = jnp.concatenate([corr, fm1], axis=-1)
-        x = TorchConv(NUM_FEAT, (1, 1), name="q_conv")(x)
+        # the reference concatenates [corr, fm1] then applies one 1×1 conv
+        # (net/rp_net.py:81); by linearity that equals two 1×1 convs summed —
+        # which skips materializing the 377-channel concat every refinement
+        # iteration (profiled at ~10ms/iter of pure HBM copies on v5e).
+        # Checkpoint conversion splits the torch kernel accordingly.
+        x = (TorchConv(NUM_FEAT, (1, 1), use_bias=False, name="q_conv_corr")(corr)
+             + TorchConv(NUM_FEAT, (1, 1), name="q_conv_fm")(fm1))
         x = Norm2d(name="q_norm")(x, train)
         return nn.relu(x)
 

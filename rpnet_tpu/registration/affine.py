@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import optax
 
 from rpnet_tpu.core.metrics import mse
-from rpnet_tpu.ops.sampling import affine_grid, grid_sample
+from rpnet_tpu.ops.sampling import affine_grid, grid_sample, grid_sample_matmul
 
 # theta * stop_shear mask keeps only scale+translation (net/registration.py:324)
 STOP_SHEAR_MASK_2D = jnp.asarray([[1.0, 0.0, 1.0], [0.0, 1.0, 1.0]])
@@ -29,20 +29,27 @@ def identity_theta(dtype=jnp.float32):
     return jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], dtype=dtype)
 
 
-def affine_warp(x, theta, stop_shear: bool = False):
+def affine_warp(x, theta, stop_shear: bool = False, sampler: str = "gather"):
     """Warp a single image by theta.
 
     x: (H, W, C); theta: (2, 3). Returns (H, W, C).
+
+    sampler="matmul" computes the SAME bilinear values through one-hot
+    matmuls (ops/sampling.grid_sample_matmul) — the TPU-fast path used inside
+    the fit loop, where gather-based sampling is ~25× slower in-program.
     """
     if stop_shear:
         theta = theta * STOP_SHEAR_MASK_2D.astype(theta.dtype)
     H, W, C = x.shape
     grid = affine_grid(theta[None], (1, C, H, W), align_corners=False)
+    if sampler == "matmul":
+        return grid_sample_matmul(x[None], grid, align_corners=False)[0]
     return grid_sample(x[None], grid, align_corners=False)[0]
 
 
 def fit_affine(moving, fixed, iters: int = 50, lr: float = 0.01,
-               loss_fn: Callable = mse, stop_shear: bool = False):
+               loss_fn: Callable = mse, stop_shear: bool = False,
+               sampler: str = "matmul"):
     """Fit theta by Adam. moving/fixed: (H, W, C). Returns (theta, losses).
 
     Matches the reference's torch.optim.Adam defaults (betas 0.9/0.999,
@@ -54,7 +61,7 @@ def fit_affine(moving, fixed, iters: int = 50, lr: float = 0.01,
     opt_state = opt.init(theta0)
 
     def objective(theta):
-        return loss_fn(affine_warp(moving, theta, stop_shear), fixed)
+        return loss_fn(affine_warp(moving, theta, stop_shear, sampler), fixed)
 
     grad_fn = jax.value_and_grad(objective)
 

@@ -48,7 +48,8 @@ class RegistrationResult(NamedTuple):
 
 def register_slice(src, dst, src_label, *, affine_iters: int = 50,
                    demons_iters: int = 0, lr: float = 0.01, sigma: float = 2.0,
-                   diffeo_scaling: int = 10, fit_scale: int = 1):
+                   diffeo_scaling: int = 10, fit_scale: int = 1,
+                   sampler: str = "matmul"):
     """Register one support slice onto one query slice.
 
     src, dst: (H, W) images in [-1, 1]; src_label: (H, W) binary.
@@ -57,7 +58,12 @@ def register_slice(src, dst, src_label, *, affine_iters: int = 50,
     normalized coordinates is resolution-invariant) while every warp output
     stays full-resolution — a pure-performance knob: the 50-iteration Adam
     loop is gather-bound on TPU and its cost drops quadratically with scale.
-    fit_scale=1 reproduces the reference trajectory exactly.
+
+    ``sampler`` selects the bilinear implementation inside the fit:
+    "matmul" (default) is the MXU one-hot formulation, ~25x faster in-program;
+    its subgradient at exact-integer sample coords differs from torch's, so
+    the OPTIMIZER TRAJECTORY deviates slightly (same converged fit quality).
+    fit_scale=1 + sampler="gather" reproduces the reference trajectory.
     """
     H, W = src.shape
     src01 = ((src + 1.0) * 0.5)[..., None]     # (H, W, 1)
@@ -71,7 +77,8 @@ def register_slice(src, dst, src_label, *, affine_iters: int = 50,
     else:
         src_fit, dst_fit = src01, dst01
 
-    theta, _ = fit_affine(src_fit, dst_fit, iters=affine_iters, lr=lr)
+    theta, _ = fit_affine(src_fit, dst_fit, iters=affine_iters, lr=lr,
+                          sampler=sampler)
 
     affined_src01 = affine_warp(src01, theta)
     flow, _ = fit_demons(affined_src01, dst01, iters=demons_iters, lr=lr,
@@ -110,17 +117,18 @@ def register_slice(src, dst, src_label, *, affine_iters: int = 50,
 
 
 @partial(jax.jit, static_argnames=("affine_iters", "demons_iters",
-                                   "diffeo_scaling", "fit_scale"))
+                                   "diffeo_scaling", "fit_scale", "sampler"))
 def register_episode(support_imgs, query_imgs, support_labels, *,
                      affine_iters: int = 50, demons_iters: int = 0,
                      lr: float = 0.01, sigma: float = 2.0,
-                     diffeo_scaling: int = 10,
-                     fit_scale: int = 1) -> RegistrationResult:
+                     diffeo_scaling: int = 10, fit_scale: int = 1,
+                     sampler: str = "matmul") -> RegistrationResult:
     """vmap :func:`register_slice` over the slice axis.
 
     support_imgs, query_imgs: (S, H, W) in [-1, 1]; support_labels: (S, H, W).
     """
     fn = partial(register_slice, affine_iters=affine_iters,
                  demons_iters=demons_iters, lr=lr, sigma=sigma,
-                 diffeo_scaling=diffeo_scaling, fit_scale=fit_scale)
+                 diffeo_scaling=diffeo_scaling, fit_scale=fit_scale,
+                 sampler=sampler)
     return jax.vmap(fn)(support_imgs, query_imgs, support_labels)

@@ -90,13 +90,18 @@ def _torch_module_path(torch_key: str) -> Optional[Tuple[Tuple[str, ...], str]]:
         return _resnet_inner(("encoder", block), m.group(3)), tail
 
     # ---- CRE ----
-    m = re.match(r"cre\.(w_k|w_q|q)\.(\d)\.", torch_key)
+    # (cre.q.0.* is handled specially in convert_state_dict: the fused 1×1
+    # conv over [corr, fm1] splits into q_conv_corr + q_conv_fm by linearity)
+    m = re.match(r"cre\.(w_k|w_q)\.(\d)\.", torch_key)
     if m:
         name, idx = m.group(1), m.group(2)
         if idx == "0":
             return ("cre", f"{name}_conv", "conv"), tail
         if idx == "1":
             return ("cre", f"{name}_norm", "bn"), tail
+    m = re.match(r"cre\.q\.1\.", torch_key)
+    if m:
+        return ("cre", "q_norm", "bn"), tail
     if torch_key.startswith(("cre.w_context.", "cre.out.")):
         return None   # dead submodules in the reference
 
@@ -129,7 +134,28 @@ def convert_state_dict(state_dict: Dict[str, Any], reference_variables=None):
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
     unmatched = []
+
+    # the CRE's fused 1×1 conv splits into corr/fm branches (see models/cre.py);
+    # corr channel count = total_in - C where C comes from the w_k conv
+    if "cre.q.0.weight" in state_dict:
+        qw = np.asarray(getattr(state_dict["cre.q.0.weight"], "numpy",
+                                lambda: state_dict["cre.q.0.weight"])())
+        wk = state_dict.get("cre.w_k.0.weight")
+        C = (np.asarray(getattr(wk, "numpy", lambda: wk)()).shape[0]
+             if wk is not None else qw.shape[1])
+        d2 = qw.shape[1] - C
+        _set_nested(params, ("cre", "q_conv_corr", "conv", "kernel"),
+                    np.transpose(qw[:, :d2], (2, 3, 1, 0)))
+        _set_nested(params, ("cre", "q_conv_fm", "conv", "kernel"),
+                    np.transpose(qw[:, d2:], (2, 3, 1, 0)))
+    if "cre.q.0.bias" in state_dict:
+        qb = state_dict["cre.q.0.bias"]
+        _set_nested(params, ("cre", "q_conv_fm", "conv", "bias"),
+                    np.asarray(getattr(qb, "numpy", lambda: qb)()))
+
     for key, val in state_dict.items():
+        if key in ("cre.q.0.weight", "cre.q.0.bias"):
+            continue
         arr = np.asarray(getattr(val, "numpy", lambda: val)())
         mapped = _torch_module_path(key)
         if mapped is None:

@@ -30,7 +30,9 @@ def test_convert_unet_and_cre_keys(rng):
 
     k1 = p["encoder"]["enc1"]["conv1"]["conv"]["kernel"]   # (3,3,1,64) HWIO
     up5k = p["encoder"]["up5"]["conv"]["conv"]["kernel"]
-    qk = p["cre"]["q_conv"]["conv"]["kernel"]
+    qk_corr = p["cre"]["q_conv_corr"]["conv"]["kernel"]    # (1,1,d²,64)
+    qk_fm = p["cre"]["q_conv_fm"]["conv"]["kernel"]        # (1,1,C,64)
+    d2, Cc = qk_corr.shape[2], qk_fm.shape[2]
     sd = {
         "encoder.Conv1.conv.0.weight": fake((k1.shape[3], k1.shape[2], 3, 3)),
         "encoder.Conv1.conv.0.bias": fake((64,)),
@@ -45,7 +47,9 @@ def test_convert_unet_and_cre_keys(rng):
         "encoder.Up5.up.2.bias": fake((512,)),
         "encoder.Up5.up.2.running_mean": fake((512,)),
         "encoder.Up5.up.2.running_var": np.abs(fake((512,))),
-        "cre.q.0.weight": fake((qk.shape[3], qk.shape[2], 1, 1)),
+        "cre.w_k.0.weight": fake((Cc, Cc, 3, 3)),
+        "cre.w_k.0.bias": fake((Cc,)),
+        "cre.q.0.weight": fake((64, d2 + Cc, 1, 1)),
         "cre.q.0.bias": fake((64,)),
         "cre.w_context.0.weight": fake((1, 1, 1, 1)),   # dead submodule → skipped
     }
@@ -59,9 +63,15 @@ def test_convert_unet_and_cre_keys(rng):
     np.testing.assert_allclose(
         tree["batch_stats"]["encoder"]["enc1"]["norm1"]["bn"]["mean"],
         sd["encoder.Conv1.conv.1.running_mean"])
+    # the fused q conv splits by linearity: corr channels first, fm1 after
     np.testing.assert_allclose(
-        tree["params"]["cre"]["q_conv"]["conv"]["kernel"],
-        np.transpose(sd["cre.q.0.weight"], (2, 3, 1, 0)))
+        tree["params"]["cre"]["q_conv_corr"]["conv"]["kernel"],
+        np.transpose(sd["cre.q.0.weight"][:, :d2], (2, 3, 1, 0)))
+    np.testing.assert_allclose(
+        tree["params"]["cre"]["q_conv_fm"]["conv"]["kernel"],
+        np.transpose(sd["cre.q.0.weight"][:, d2:], (2, 3, 1, 0)))
+    np.testing.assert_allclose(
+        tree["params"]["cre"]["q_conv_fm"]["conv"]["bias"], sd["cre.q.0.bias"])
 
     # overlay into fresh variables keeps untouched leaves and swaps converted
     merged = overlay(variables, {k: v for k, v in tree.items()

@@ -189,3 +189,15 @@ def test_mxu_correlation_matches_local(rng):
         ref = np.asarray(local_correlation(f1, f2, r))
         out = np.asarray(local_correlation_mxu(f1, f2, r, precision="highest"))
         np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_grid_sample_matmul_matches_gather(rng):
+    from rpnet_tpu.ops.sampling import grid_sample, grid_sample_matmul
+
+    x = jnp.asarray(rng.randn(2, 9, 11, 3).astype(np.float32))
+    grid = jnp.asarray((rng.rand(2, 5, 7, 2) * 2.6 - 1.3).astype(np.float32))
+    for ac in (False, True):
+        ref = np.asarray(grid_sample(x, grid, align_corners=ac))
+        out = np.asarray(grid_sample_matmul(x, grid, align_corners=ac,
+                                            precision="highest"))
+        np.testing.assert_allclose(out, ref, atol=1e-5)

@@ -1,0 +1,94 @@
+"""Multi-chip tests on the virtual 8-device CPU mesh (SURVEY.md §4 item 4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rpnet_tpu.config import Config
+from rpnet_tpu.models.factory import model_factory
+from rpnet_tpu.parallel.mesh import make_mesh, shard_params
+
+
+def _tiny_cfg(H=32):
+    return Config({"backbone": "UNet", "crop_size": [H, H], "k": 2,
+                   "n_iter_refinement": 2, "mask_refinement_correlation_radius": 1,
+                   "reg_affine_iters": 3, "do_deformable": False,
+                   "slice_bucket": 8, "max_slices": 16})
+
+
+def test_mesh_shapes():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    mesh = make_mesh({"data": 4, "model": 2})
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        make_mesh({"data": 3})
+
+
+def test_param_sharding_rule(rng):
+    mesh = make_mesh({"data": 4, "model": 2})
+    cfg = _tiny_cfg()
+    model = model_factory["RP_Net"](cfg, num_iter=1)
+    H = 32
+    dummy = (jnp.zeros((1, 1, 1, H, H, 1)), jnp.zeros((1, 1, 1, H, H)),
+             jnp.ones((1, 1, 1, H, H)), jnp.zeros((1, H, H, 1)),
+             jnp.zeros((1, H, H)))
+    variables = model.init(jax.random.PRNGKey(0), *dummy, train=False)
+    shardings = shard_params(variables["params"], mesh, min_channels=256)
+    leaves = jax.tree_util.tree_leaves_with_path(shardings)
+    # at least the widest conv kernels get a model-axis sharding
+    sharded = [s for _, s in leaves if "model" in str(s.spec)]
+    assert len(sharded) > 0
+
+
+def test_sharded_episode_matches_single_device(rng):
+    """SP over the slice axis: 8-way sharded eval ≡ single-device eval."""
+    from rpnet_tpu.episode.pipeline import EpisodeRunner
+    from rpnet_tpu.episode.sampler import Episode
+
+    cfg = _tiny_cfg()
+    model = model_factory["RP_Net"](cfg, num_iter=2)
+    H = 32
+    dummy = (jnp.zeros((1, 1, 1, H, H, 1)), jnp.zeros((1, 1, 1, H, H)),
+             jnp.ones((1, 1, 1, H, H)), jnp.zeros((1, H, H, 1)),
+             jnp.zeros((1, H, H)))
+    variables = model.init(jax.random.PRNGKey(0), *dummy, train=False)
+
+    Dq = 6
+    yy, xx = np.meshgrid(np.arange(H), np.arange(H), indexing="ij")
+    organ = lambda cy, cx: ((((yy - cy) / 10) ** 2 + ((xx - cx) / 8) ** 2) < 1)
+    sl = organ(15, 14).astype(np.float32)
+    ql = organ(17, 17).astype(np.float32)
+    ep = Episode(
+        support_images=(np.repeat(sl[None], Dq, 0) * 0.8 - 0.5)[None].astype(np.float32),
+        support_labels=np.repeat(sl[None], Dq, 0)[None].astype(np.float32),
+        query_images=(np.repeat(ql[None], Dq, 0) * 0.8 - 0.5).astype(np.float32),
+        query_labels=np.repeat(ql[None], Dq, 0).astype(np.float32),
+        class_id=0, pid="x", supp_pids=[(0, 0)])
+
+    single = EpisodeRunner(model, variables, cfg)
+    res1 = single.run(ep)
+
+    mesh = make_mesh({"data": 8, "model": 1})
+    sharded = EpisodeRunner(model, variables, cfg, mesh=mesh)
+    res8 = sharded.run(ep)
+
+    assert res8["dsc_affine"] == pytest.approx(res1["dsc_affine"], abs=1e-4)
+    assert res8["dsc_fewshot"] == pytest.approx(res1["dsc_fewshot"], abs=1e-4)
+    for k in res1["dsc_refinement"]:
+        assert res8["dsc_refinement"][k] == pytest.approx(
+            res1["dsc_refinement"][k], abs=1e-4)
+
+
+def test_dryrun_multichip_entrypoint():
+    """The driver's multichip dry run must work on the virtual mesh."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)

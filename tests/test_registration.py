@@ -117,7 +117,7 @@ def test_fit_affine_matches_torch_trajectory(rng):
     """
     src, dst = _make_pair(rng)
     theta, losses = fit_affine(jnp.asarray(src)[..., None], jnp.asarray(dst)[..., None],
-                               iters=25, lr=0.01)
+                               iters=25, lr=0.01, sampler="gather")
     theta_ref = _torch_fit_affine(torch.from_numpy(src)[None, None],
                                   torch.from_numpy(dst)[None, None], iters=25)
     np.testing.assert_allclose(np.asarray(theta), theta_ref.numpy()[0], atol=2e-2)
@@ -178,7 +178,8 @@ def test_register_slice_end_to_end(rng):
     src, dst = _make_pair(rng, 20, 20)
     label = (src > 0.5).astype(np.float32)
     res = register_slice(jnp.asarray(src) * 2 - 1, jnp.asarray(dst) * 2 - 1,
-                         jnp.asarray(label), affine_iters=20, demons_iters=0)
+                         jnp.asarray(label), affine_iters=20, demons_iters=0,
+                         sampler="gather")   # reference-parity mode
 
     # torch oracle of get_registration_field semantics for one slice
     src01 = torch.from_numpy(src)[None, None]
@@ -197,3 +198,23 @@ def test_register_slice_end_to_end(rng):
     # thresholded labels: allow a tiny disagreement ring at the 0.1 level set
     assert np.mean(np.asarray(res.warped_label) != ref_warped_label) < 0.02
     assert np.mean(np.asarray(res.affine_label) != ref_affine_label) < 0.02
+
+
+def test_matmul_sampler_fit_quality(rng):
+    """The MXU (matmul) sampler's trajectory differs at bilinear kinks but
+    must converge to the same fit quality as the gather path."""
+    from rpnet_tpu.core.metrics import mse
+
+    src, dst = _make_pair(rng)
+    s = jnp.asarray(src)[..., None]
+    d = jnp.asarray(dst)[..., None]
+    # 50 iterations = the reference's budget (few_shot_reader.py:159); the
+    # matmul path starts slower (zero subgradient at the step-0 kink) but
+    # converges to the same quality within it
+    th_g, _ = fit_affine(s, d, iters=50, lr=0.01, sampler="gather")
+    th_m, _ = fit_affine(s, d, iters=50, lr=0.01, sampler="matmul")
+    mse_g = float(mse(affine_warp(s, th_g), d))
+    mse_m = float(mse(affine_warp(s, th_m), d))
+    mse_id = float(mse(s, d))
+    assert mse_g < 0.5 * mse_id          # fit actually improved alignment
+    assert mse_m < mse_g * 1.15 + 1e-4   # matmul path within 15%
