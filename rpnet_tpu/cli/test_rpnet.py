@@ -74,14 +74,26 @@ def build_model_and_runner(config: Config, seed: int = 0):
 
 def evaluate(runner: EpisodeRunner, sampler: EpisodeSampler, config: Config):
     """One eval pass (reference eval(), test_rpnet.py:151-258)."""
+    from rpnet_tpu.utils.profiling import StageTimer
+
     eval_classes = config["eval_classes"]
     dsc_affine_list = defaultdict(list)
     dsc_fewshot_list = defaultdict(list)
     dsc_refinement_list = defaultdict(lambda: defaultdict(list))
+    timer = StageTimer()
+
+    if config.get("num_workers", 0):
+        from rpnet_tpu.episode.prefetch import PrefetchingSampler
+        iterator = iter(PrefetchingSampler(
+            sampler, lookahead=2, workers=int(config["num_workers"])))
+    else:
+        iterator = (sampler.sample(j) for j in range(len(sampler)))
 
     for j in range(len(sampler)):
-        ep = sampler.sample(j)
-        res = runner.run(ep)
+        with timer.stage("data"):
+            ep = next(iterator)
+        with timer.stage("episode_compute"):
+            res = runner.run(ep)
         cls = eval_classes[ep.class_id]
         supp_pid = sampler.data_info[ep.supp_pids[0][0]][ep.supp_pids[0][1]]["pid"]
 
@@ -104,6 +116,7 @@ def evaluate(runner: EpisodeRunner, sampler: EpisodeSampler, config: Config):
             vals = [v for v in l if v is not None]
             print(f"ref {it} {np.average(vals) if vals else float('nan')}, ", end=" ")
         print()
+    print(timer.report())
     return dsc_affine_list, dsc_fewshot_list, dsc_refinement_list
 
 

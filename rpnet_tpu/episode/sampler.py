@@ -125,16 +125,27 @@ class EpisodeSampler:
         return len(self.indices)
 
     # ------------------------------------------------------------------ io
+    def _read_volume(self, path: str):
+        """NRRD read through the native raw-cache when enabled (C++ decoder,
+        rpnet_tpu/native) — single-pread loads after the first touch."""
+        if self.cfg.get("use_native_io", True):
+            from rpnet_tpu.core import native_cache
+            arr, _ = native_cache.read_cached(
+                path, cache_dir=self.cfg.get("io_cache_dir"))
+            return arr
+        arr, _ = nrrd_io.read(path)
+        return arr
+
     def load_image_and_mask(self, pid: str, roi: str):
         """The per-volume preprocessing chain (few_shot_reader.py:324-345)."""
         cfg = self.cfg
         pad_factor = 16
-        mask, _ = nrrd_io.read(os.path.join(self.data_dir, f"{pid}_{roi}.nrrd"))
+        mask = self._read_volume(os.path.join(self.data_dir, f"{pid}_{roi}.nrrd"))
         mask = mask.astype(np.float32)
         mask = truncate_image(mask, cfg["num_slice"], cfg["num_x"], cfg["num_y"])
         mask = pad2factor(mask, factor=pad_factor, pad_value=0)[None]
 
-        imgs, _ = nrrd_io.read(os.path.join(self.data_dir, f"{pid}_clean.nrrd"))
+        imgs = self._read_volume(os.path.join(self.data_dir, f"{pid}_clean.nrrd"))
         imgs = truncate_image(imgs.astype(np.float32), cfg["num_slice"],
                               cfg["num_x"], cfg["num_y"])
         imgs = pad2factor(imgs, factor=pad_factor, pad_value=cfg["pad_value"])[None]

@@ -131,3 +131,22 @@ def test_cli_end_to_end(synth, tmp_path, capsys):
     assert 0.3 < aff_mean <= 1.0
     assert os.path.exists(str(tmp_path / "out" / "results_eval.json"))
     assert os.path.exists(str(tmp_path / "out" / "log_eval"))
+
+
+def test_prefetching_sampler_matches_serial(synth):
+    """Prefetched iteration yields identical episodes + RNG sequence."""
+    import random
+
+    from rpnet_tpu.episode.prefetch import PrefetchingSampler
+
+    cfg = small_config(synth)
+    s = EpisodeSampler(cfg["data_dir"], cfg["eval_set_name"], cfg, mode="eval")
+    random.seed(0)
+    serial = [s.sample(j) for j in range(len(s))]
+    random.seed(0)
+    prefetched = list(PrefetchingSampler(s, lookahead=2, workers=2))
+    assert len(serial) == len(prefetched)
+    for a, b in zip(serial, prefetched):
+        assert a.pid == b.pid and a.supp_pids == b.supp_pids
+        np.testing.assert_array_equal(a.query_images, b.query_images)
+        np.testing.assert_array_equal(a.support_images, b.support_images)
