@@ -149,6 +149,25 @@ def ghm_dice_loss(pred, target, label_weight, bins: int = 10, loss_weight: float
     return (1.0 - jnp.sum(2 * pred * target * weights) / S) * loss_weight
 
 
+# the reference's topk_dice_loss (net/unet.py:252-285) is a verbatim duplicate
+# of binary_dice_loss (its topk_neg pruning is commented out) — aliased here
+topk_dice_loss = binary_dice_loss
+
+
+def topk_neg(pred, target, k: int = 5, base: int = 1000):
+    """Hard-negative/positive selection (topk_neg, net/unet.py:288-309):
+    keep the base*k highest-scoring negatives and base lowest positives."""
+    pred = pred.reshape(-1)
+    target = target.reshape(-1)
+    neg_scores = jnp.where(target == 0, pred, -jnp.inf)
+    pos_scores = jnp.where(target == 1, pred, jnp.inf)
+    topk = int(base * k)
+    neg_vals, neg_idx = jax.lax.top_k(neg_scores, min(topk, pred.shape[0]))
+    pos_vals, pos_idx = jax.lax.top_k(-pos_scores, min(base, pred.shape[0]))
+    keep = jnp.concatenate([pos_idx, neg_idx])
+    return pred[keep], target[keep]
+
+
 LOSS_REGISTRY = {
     "dice_ce": dice_ce,
     "dice_softmax": dice_loss_softmax,

@@ -150,3 +150,34 @@ def test_prefetching_sampler_matches_serial(synth):
         assert a.pid == b.pid and a.supp_pids == b.supp_pids
         np.testing.assert_array_equal(a.query_images, b.query_images)
         np.testing.assert_array_equal(a.support_images, b.support_images)
+
+
+def test_volume3d_sliding_window(synth):
+    """Whole-volume eval: windows cover, overlaps average, dice sane."""
+    import jax.numpy as jnp
+
+    from rpnet_tpu.episode.volume3d import (Volume3DRunner, Volume3DSampler,
+                                            match_support_slices)
+
+    np.testing.assert_array_equal(match_support_slices(10, 5), [0, 2, 4, 7, 9])
+    np.testing.assert_array_equal(match_support_slices(3, 1), [0])
+
+    cfg = small_config(synth, slice_bucket=4, max_slices=8)
+    random.seed(0)
+    s = EpisodeSampler(cfg["data_dir"], cfg["eval_set_name"], cfg, mode="eval")
+    v3d = Volume3DSampler(s)
+    supp_img, supp_lab, qry_img, qry_lab, meta = v3d.sample(0)
+    assert meta["pid"] != meta["supp_pid"]
+
+    model = model_factory["RP_Net"](cfg, num_iter=2)
+    H, W = qry_img.shape[1:]
+    dummy = (jnp.zeros((1, 1, 1, H, W, 1)), jnp.zeros((1, 1, 1, H, W)),
+             jnp.ones((1, 1, 1, H, W)), jnp.zeros((1, H, W, 1)),
+             jnp.zeros((1, H, W)))
+    variables = model.init(jax.random.PRNGKey(0), *dummy, train=False)
+    runner = EpisodeRunner(model, variables, cfg)
+    vr = Volume3DRunner(runner, overlap=1)
+    res = vr.run_volume(supp_img, supp_lab, qry_img, qry_lab)
+    assert res.prediction.shape == qry_img.shape
+    assert res.n_windows >= 2          # volume longer than one window
+    assert res.dsc_affine is not None and res.dsc_affine > 0.4

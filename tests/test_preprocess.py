@@ -80,3 +80,40 @@ def test_contour_rasterization():
     mask = rasterize_contours([px], (8, 8))
     assert mask[2, 2] == 1 and mask[0, 7] == 0
     assert mask.sum() == 36  # inclusive 6×6 fill
+
+
+def test_offline_registration_helpers(rng):
+    from rpnet_tpu.preprocess.offline_registration import (
+        affine_register_volumes, find_nearest_patient, histogram_distance,
+        resample_to_reference)
+
+    a = rng.normal(0, 100, (4, 24, 24)).astype(np.float32)
+    b = a + rng.normal(0, 5, a.shape).astype(np.float32)   # similar
+    c = rng.normal(800, 300, a.shape).astype(np.float32)   # different
+    assert histogram_distance(a, b) < histogram_distance(a, c)
+    pid, d = find_nearest_patient(a, {"close": b, "far": c})
+    assert pid == "close"
+
+    # shifted blob volume registers back toward the fixed volume
+    yy, xx = np.meshgrid(np.arange(24), np.arange(24), indexing="ij")
+    blob = lambda cy, cx: np.exp(-(((yy - cy) / 5.) ** 2 + ((xx - cx) / 5.) ** 2))
+    fixed = np.stack([blob(12, 12)] * 4).astype(np.float32) * 100
+    moving = np.stack([blob(9, 15)] * 4).astype(np.float32) * 100
+    warped, theta = affine_register_volumes(moving, fixed, iters=40)
+    err_before = np.abs(moving - fixed).mean()
+    err_after = np.abs(warped - fixed).mean()
+    assert err_after < 0.6 * err_before
+
+    out = resample_to_reference(moving, (8, 12, 12))
+    assert out.shape == (8, 12, 12)
+
+
+def test_topk_neg_selection(rng):
+    import jax.numpy as jnp
+
+    from rpnet_tpu.models.losses import topk_neg
+
+    pred = jnp.asarray(rng.randn(5000).astype(np.float32))
+    target = jnp.asarray((rng.rand(5000) > 0.5).astype(np.float32))
+    p, t = topk_neg(pred, target, k=1, base=100)
+    assert p.shape[0] == 100 + 100 * 1
