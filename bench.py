@@ -70,13 +70,17 @@ def main():
              jnp.ones((1, 1, 1, H, W)), jnp.zeros((1, H, W, 1)),
              jnp.zeros((1, H, W)))
     t0 = time.time()
-    try:  # init on host CPU (seconds) instead of compiling init over the wire
+    try:  # init on host CPU (seconds) instead of compiling init over the wire;
+        # params don't depend on the correlation impl, so trace init with XLA
+        os.environ["RPNET_CORR_IMPL"] = "xla"
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
             variables = model.init(jax.random.PRNGKey(0), *dummy, train=False)
         variables = jax.device_put(variables, dev)
     except RuntimeError:
         variables = model.init(jax.random.PRNGKey(0), *dummy, train=False)
+    finally:
+        os.environ.pop("RPNET_CORR_IMPL", None)
     log(f"init: {time.time() - t0:.1f}s")
 
     fn = jax.jit(episode_metrics_fn(model, affine_iters=args.affine_iters,

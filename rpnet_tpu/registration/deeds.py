@@ -84,3 +84,26 @@ def deeds_fit(moving, fixed, grid_size: int = 128, disp_range: float = 0.1,
 def deeds_warp(x, sample_grid):
     """Apply a DEEDS grid: x (H, W, C), sample_grid (H, W, 2)."""
     return grid_sample(x[None], sample_grid[None])[0]
+
+
+def affine_deeds_fit(moving, fixed, *, affine_iters: int = 50, lr: float = 0.01,
+                     stop_shear: bool = False, **deeds_kw):
+    """Affine fit → detach → DEEDS on the affined image
+    (AffineDEEDSRegistration.train_registraion, net/registration.py:505-524).
+
+    moving/fixed: (H, W, 1). Returns (theta, sample_grid).
+    """
+    from rpnet_tpu.registration.affine import affine_warp, fit_affine
+
+    theta, _ = fit_affine(moving, fixed, iters=affine_iters, lr=lr,
+                          stop_shear=stop_shear)
+    affined = affine_warp(moving, theta, stop_shear=stop_shear)
+    grid = deeds_fit(affined, fixed, **deeds_kw)
+    return theta, grid
+
+
+def affine_deeds_warp(x, theta, sample_grid, stop_shear: bool = False):
+    """Apply the combined transform (affine then DEEDS), x (H, W, C)."""
+    from rpnet_tpu.registration.affine import affine_warp
+
+    return deeds_warp(affine_warp(x, theta, stop_shear=stop_shear), sample_grid)

@@ -181,3 +181,24 @@ def test_volume3d_sliding_window(synth):
     assert res.prediction.shape == qry_img.shape
     assert res.n_windows >= 2          # volume longer than one window
     assert res.dsc_affine is not None and res.dsc_affine > 0.4
+
+
+def test_cli_determinism(synth, tmp_path):
+    """Same seed → identical results across full CLI runs (the reference's
+    reproducibility mechanism, test_rpnet.py:8-10; SURVEY §4 item 5)."""
+    import yaml as pyyaml
+
+    from rpnet_tpu.cli import test_rpnet as cli
+
+    cfg = small_config(synth, n_runs=1, out_dir=str(tmp_path / "o1"), seed=0,
+                       num_workers=0)
+    y1 = str(tmp_path / "c1.yml")
+    pyyaml.safe_dump(cfg.to_dict(), open(y1, "w"))
+    r1 = cli.main(["--yaml", y1])
+    cfg2 = small_config(synth, n_runs=1, out_dir=str(tmp_path / "o2"), seed=0,
+                        num_workers=0)
+    y2 = str(tmp_path / "c2.yml")
+    pyyaml.safe_dump(cfg2.to_dict(), open(y2, "w"))
+    r2 = cli.main(["--yaml", y2])
+    assert r1["classes"]["Liver"]["affine"] == r2["classes"]["Liver"]["affine"]
+    assert r1["classes"]["Liver"]["fewshot"] == r2["classes"]["Liver"]["fewshot"]

@@ -218,3 +218,43 @@ def test_matmul_sampler_fit_quality(rng):
     mse_id = float(mse(s, d))
     assert mse_g < 0.5 * mse_id          # fit actually improved alignment
     assert mse_m < mse_g * 1.15 + 1e-4   # matmul path within 15%
+
+
+def test_deeds_identity_and_shift(rng):
+    """DEEDS: identical images → ≈identity grid; small shift → better MSE."""
+    from rpnet_tpu.registration.deeds import deeds_fit, deeds_warp
+
+    H = W = 32
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    blob = lambda cy, cx: np.exp(-(((yy - cy) / 6.0) ** 2 + ((xx - cx) / 6.0) ** 2))
+    fixed = (blob(16, 16) + 0.02 * rng.randn(H, W)).astype(np.float32)[..., None]
+
+    grid = deeds_fit(jnp.asarray(fixed), jnp.asarray(fixed),
+                     grid_size=16, displacement_width=7)
+    from rpnet_tpu.ops.sampling import affine_grid
+    eye = jnp.asarray([[[1.0, 0, 0], [0, 1.0, 0]]])
+    ident = np.asarray(affine_grid(eye, (1, 1, H, W)))[0]
+    assert np.abs(np.asarray(grid) - ident).max() < 0.05   # near identity
+
+    moving = (blob(18, 14) + 0.02 * rng.randn(H, W)).astype(np.float32)[..., None]
+    grid2 = deeds_fit(jnp.asarray(moving), jnp.asarray(fixed),
+                      grid_size=16, disp_range=0.3, displacement_width=11)
+    warped = np.asarray(deeds_warp(jnp.asarray(moving), grid2))
+    err_before = np.mean((moving - fixed) ** 2)
+    err_after = np.mean((warped - fixed) ** 2)
+    assert err_after < 0.8 * err_before
+
+
+def test_affine_deeds_combined(rng):
+    from rpnet_tpu.registration.deeds import affine_deeds_fit, affine_deeds_warp
+
+    src, dst = _make_pair(rng, 32, 32)
+    theta, grid = affine_deeds_fit(jnp.asarray(src)[..., None],
+                                   jnp.asarray(dst)[..., None],
+                                   affine_iters=20, grid_size=16,
+                                   disp_range=0.2, displacement_width=7)
+    warped = np.asarray(affine_deeds_warp(jnp.asarray(src)[..., None],
+                                          theta, grid))
+    err_before = np.mean((src - dst) ** 2)
+    err_after = np.mean((warped[..., 0] - dst) ** 2)
+    assert err_after < 0.7 * err_before
