@@ -227,6 +227,30 @@ def grid_sample_matmul(x, grid, align_corners: bool = False, precision=None):
     return out.reshape(N, Hg, Wg, C)
 
 
+def grid_sample_matmul_chunked(x, grid, align_corners: bool = False,
+                               row_chunk: int = 16, precision=None):
+    """Memory-bounded :func:`grid_sample_matmul` for full-resolution grids.
+
+    The one-hot kernels are (P, H)/(P, W) with P = Hg·Wg — at 256² that's too
+    large to materialize at once, so output rows are processed in chunks of
+    ``row_chunk`` via ``lax.scan`` (serial chunks, vmap-batchable). Same values
+    as grid_sample/grid_sample_matmul.
+    """
+    N, H, W, C = x.shape
+    Hg, Wg = grid.shape[1:3]
+    if Hg % row_chunk != 0:
+        return grid_sample_matmul(x, grid, align_corners, precision)
+    n_chunks = Hg // row_chunk
+    grid_chunks = grid.reshape(N, n_chunks, row_chunk, Wg, 2)
+    grid_chunks = jnp.moveaxis(grid_chunks, 1, 0)      # (n_chunks, N, R, Wg, 2)
+
+    def body(_, g):
+        return None, grid_sample_matmul(x, g, align_corners, precision)
+
+    _, out = jax.lax.scan(body, None, grid_chunks)     # (n_chunks, N, R, Wg, C)
+    return jnp.moveaxis(out, 0, 1).reshape(N, Hg, Wg, C)
+
+
 # --------------------------------------------------------------------------
 # separable grid_sample (matmul path for structured grids)
 # --------------------------------------------------------------------------

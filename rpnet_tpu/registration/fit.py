@@ -80,14 +80,25 @@ def register_slice(src, dst, src_label, *, affine_iters: int = 50,
     theta, _ = fit_affine(src_fit, dst_fit, iters=affine_iters, lr=lr,
                           sampler=sampler)
 
-    affined_src01 = affine_warp(src01, theta)
+    if sampler == "matmul":
+        # one combined 2-channel full-res warp (label + image) through the
+        # chunked MXU sampler — replaces two 65k-point gathers per slice
+        from rpnet_tpu.ops.sampling import (affine_grid,
+                                            grid_sample_matmul_chunked)
+        both = jnp.concatenate([label, src01], axis=-1)[None]      # (1,H,W,2)
+        grid = affine_grid(theta[None], (1, 2, H, W), align_corners=False)
+        warped_both = grid_sample_matmul_chunked(both, grid)[0]
+        affine_lab = warped_both[..., :1]
+        affined_src01 = warped_both[..., 1:]
+    else:
+        affined_src01 = affine_warp(src01, theta)
+        affine_lab = affine_warp(label, theta)
+
     flow, _ = fit_demons(affined_src01, dst01, iters=demons_iters, lr=lr,
                          sigma=(sigma, sigma), diffeomorphic=True,
                          scaling=diffeo_scaling)
 
     grid_chw = compute_grid((H, W), dtype=src.dtype)[0]
-
-    affine_lab = affine_warp(label, theta)
     if demons_iters == 0:
         # flow ≡ 0: diffeomorphic integration of zero is exactly zero, and the
         # zero-flow demons warp is a resample through the static identity grid

@@ -201,3 +201,14 @@ def test_grid_sample_matmul_matches_gather(rng):
         out = np.asarray(grid_sample_matmul(x, grid, align_corners=ac,
                                             precision="highest"))
         np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_grid_sample_matmul_chunked_matches(rng):
+    from rpnet_tpu.ops.sampling import grid_sample, grid_sample_matmul_chunked
+
+    x = jnp.asarray(rng.randn(2, 16, 12, 3).astype(np.float32))
+    grid = jnp.asarray((rng.rand(2, 16, 12, 2) * 2.2 - 1.1).astype(np.float32))
+    ref = np.asarray(grid_sample(x, grid))
+    out = np.asarray(grid_sample_matmul_chunked(x, grid, row_chunk=4,
+                                                precision="highest"))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
