@@ -119,6 +119,11 @@ _DEFAULTS: Dict[str, Any] = {
     "max_slices": 288,         # hard cap on padded query slices per episode
     "compute_dtype": "float32",
     "use_pallas": True,        # use Pallas correlation kernel on TPU
+    "use_native_io": True,     # C++ NRRD decoder + raw cache (core/native_cache)
+    "io_cache_dir": None,      # where .rawcache files go (default: beside the NRRDs)
+    "use_all_supports": False, # lift the reference's eval support-overwrite defect
+    "multishot_fusion": False, # native multi-support mode: register EVERY shot,
+                               # fuse prototypes over shots (BASELINE config 3)
     "seed": 0,
 }
 

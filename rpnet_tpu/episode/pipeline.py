@@ -29,21 +29,43 @@ from rpnet_tpu.registration.fit import register_episode
 
 
 def episode_metrics_fn(model, affine_iters: int, demons_iters: int,
-                       fit_scale: int = 1, sampler: str = "matmul"):
-    """Build the pure episode function for `model` (un-jitted)."""
+                       fit_scale: int = 1, sampler: str = "matmul",
+                       multishot: bool = False):
+    """Build the pure episode function for `model` (un-jitted).
+
+    ``multishot=False`` (default) reproduces the reference: only shot 0 is
+    registered and fed to the network (the eval reader effectively discards
+    the other shots, few_shot_reader.py:521-548). ``multishot=True`` is the
+    native multi-support mode (BASELINE config 3): EVERY shot registers onto
+    the query, all warped supports feed the model's shot axis (prototypes
+    average over shots, net/rp_net.py:379-391 semantics), and the
+    registration prior is the mean of the per-shot warped labels > 0.5.
+    """
 
     def fn(variables, supp_img, supp_lab, qry_img, qry_lab, slice_mask):
         """supp_img/supp_lab: (Sh, Dq, H, W); qry_*: (Dq, H, W); mask: (Dq,)."""
-        # ---- stage 1: registration prior (shot 0, like the reference) ----
-        reg = register_episode(supp_img[0], qry_img, supp_lab[0],
-                               affine_iters=affine_iters,
-                               demons_iters=demons_iters,
-                               fit_scale=fit_scale, sampler=sampler)
-        appr = reg.warped_label                        # (Dq, H, W)
+        Sh = supp_img.shape[0]
+        if multishot and Sh > 1:
+            regs = jax.vmap(lambda s, l: register_episode(
+                s, qry_img, l, affine_iters=affine_iters,
+                demons_iters=demons_iters, fit_scale=fit_scale,
+                sampler=sampler))(supp_img, supp_lab)
+            appr = (jnp.mean(regs.warped_label, axis=0) > 0.5).astype(jnp.float32)
+            supp_t = regs.affine_src[None, ..., None]   # (1, Sh, Dq, H, W, 1)
+            fore_t = regs.affine_label[None]            # (1, Sh, Dq, H, W)
+            reg_warped_src = regs.warped_src[0]
+        else:
+            # ---- reference path: shot 0 only ----
+            reg = register_episode(supp_img[0], qry_img, supp_lab[0],
+                                   affine_iters=affine_iters,
+                                   demons_iters=demons_iters,
+                                   fit_scale=fit_scale, sampler=sampler)
+            appr = reg.warped_label                     # (Dq, H, W)
+            supp_t = reg.affine_src[None, None, ..., None]
+            fore_t = reg.affine_label[None, None]
+            reg_warped_src = reg.warped_src
 
         # ---- stage 2: network ----
-        supp_t = reg.affine_src[None, None, ..., None]  # (1, 1, Dq, H, W, 1)
-        fore_t = reg.affine_label[None, None]
         back_t = 1.0 - fore_t
         qry_t = qry_img[..., None]
         out = model.apply(variables, supp_t, fore_t, back_t, qry_t, appr,
@@ -60,7 +82,7 @@ def episode_metrics_fn(model, affine_iters: int, demons_iters: int,
 
         # NCC diagnostics (test_rpnet.py:229-230) over valid slices
         w3 = w[:, None, None]
-        ncc_warped = ncc(reg.warped_src * w3, qry_img * w3)
+        ncc_warped = ncc(reg_warped_src * w3, qry_img * w3)
         ncc_raw = ncc(supp_img[0] * w3, qry_img * w3)
 
         return {
@@ -99,8 +121,9 @@ class EpisodeRunner:
                         if config.get("do_deformable", False) else 0)
         fit_scale = int(config.get("reg_fit_scale", 1))
         sampler = str(config.get("reg_sampler", "matmul"))
+        multishot = bool(config.get("multishot_fusion", False))
         fn = episode_metrics_fn(model, affine_iters, demons_iters, fit_scale,
-                                sampler)
+                                sampler, multishot)
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P

@@ -193,18 +193,31 @@ class EpisodeSampler:
         k, supp_idx, edges = slice_bins([s[0].shape[0] for s in chosen], nq, cfg["k"])
 
         shot_imgs, shot_labs = [], []
-        for m in range(test_shot):
-            img_rows, lab_rows = [], []
-            for j in range(k):
-                s, e = int(edges[j]), int(edges[j + 1])
-                offset = 0 if j + m >= k else m
-                # support volume 0 of `chosen` (post-defect it's the last one)
-                si = int(supp_idx[0][j + offset])
-                img_rows.append(np.repeat(chosen[0][0][si][None], e - s, axis=0))
-                lab_rows.append(np.repeat(chosen[0][1][si][None], e - s, axis=0))
-            shot_imgs.append(np.concatenate(img_rows, axis=0))
-            shot_labs.append(np.concatenate(lab_rows, axis=0))
-        support_images = np.stack(shot_imgs)       # (test_shot, Dq, H, W)
+        if use_all:
+            # native multi-support: one shot per support VOLUME, each matched
+            # to the query bins (feeds multishot_fusion in the pipeline)
+            for i, (vol_img, vol_lab) in enumerate(chosen):
+                img_rows, lab_rows = [], []
+                for j in range(k):
+                    s, e = int(edges[j]), int(edges[j + 1])
+                    si = int(supp_idx[i][j])
+                    img_rows.append(np.repeat(vol_img[si][None], e - s, axis=0))
+                    lab_rows.append(np.repeat(vol_lab[si][None], e - s, axis=0))
+                shot_imgs.append(np.concatenate(img_rows, axis=0))
+                shot_labs.append(np.concatenate(lab_rows, axis=0))
+        else:
+            # reference semantics: slice-offset "shots" from the last support
+            for m in range(test_shot):
+                img_rows, lab_rows = [], []
+                for j in range(k):
+                    s, e = int(edges[j]), int(edges[j + 1])
+                    offset = 0 if j + m >= k else m
+                    si = int(supp_idx[0][j + offset])
+                    img_rows.append(np.repeat(chosen[0][0][si][None], e - s, axis=0))
+                    lab_rows.append(np.repeat(chosen[0][1][si][None], e - s, axis=0))
+                shot_imgs.append(np.concatenate(img_rows, axis=0))
+                shot_labs.append(np.concatenate(lab_rows, axis=0))
+        support_images = np.stack(shot_imgs)       # (shots, Dq, H, W)
         support_labels = np.stack(shot_labs)
 
         support_images, support_labels, qry_img, qry_mask = _pad_same_hw(

@@ -202,3 +202,26 @@ def test_cli_determinism(synth, tmp_path):
     r2 = cli.main(["--yaml", y2])
     assert r1["classes"]["Liver"]["affine"] == r2["classes"]["Liver"]["affine"]
     assert r1["classes"]["Liver"]["fewshot"] == r2["classes"]["Liver"]["fewshot"]
+
+
+def test_multishot_fusion(synth):
+    """Native 2-shot eval: every shot registered, prototypes fused."""
+    import jax.numpy as jnp
+
+    cfg = small_config(synth, n_shot=2, test_shot=1, use_all_supports=True,
+                       multishot_fusion=True)
+    random.seed(0)
+    s = EpisodeSampler(cfg["data_dir"], cfg["eval_set_name"], cfg, mode="eval")
+    ep = s.sample(0)
+    assert ep.support_images.shape[0] == 2     # both supports survive
+
+    model = model_factory["RP_Net"](cfg, num_iter=2)
+    H, W = 32, 32
+    dummy = (jnp.zeros((1, 2, 1, H, W, 1)), jnp.zeros((1, 2, 1, H, W)),
+             jnp.ones((1, 2, 1, H, W)), jnp.zeros((1, H, W, 1)),
+             jnp.zeros((1, H, W)))
+    variables = model.init(jax.random.PRNGKey(0), *dummy, train=False)
+    runner = EpisodeRunner(model, variables, cfg)
+    res = runner.run(ep)
+    assert res["dsc_affine"] is not None and res["dsc_affine"] > 0.5
+    assert res["dsc_fewshot"] is not None
