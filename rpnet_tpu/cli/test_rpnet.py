@@ -46,6 +46,9 @@ parser.add_argument("--n-runs", default=None, type=int,
                     help="override n_runs from the YAML")
 
 
+from rpnet_tpu.utils.device import init_on_host_cpu
+
+
 def build_model_and_runner(config: Config, seed: int = 0):
     """Initialize model variables (optionally from ckpt) and the runner."""
     num_iter = config["n_iter_refinement"]
@@ -54,14 +57,15 @@ def build_model_and_runner(config: Config, seed: int = 0):
     H, W = config.get("crop_size", [256, 256])
     import jax.numpy as jnp
 
+    Sh = int(config.get("n_shot", 1)) if config.get("multishot_fusion") else 1
     dummy = (
-        jnp.zeros((1, 1, 1, H, W, 1), jnp.float32),
-        jnp.zeros((1, 1, 1, H, W), jnp.float32),
-        jnp.ones((1, 1, 1, H, W), jnp.float32),
+        jnp.zeros((1, Sh, 1, H, W, 1), jnp.float32),
+        jnp.zeros((1, Sh, 1, H, W), jnp.float32),
+        jnp.ones((1, Sh, 1, H, W), jnp.float32),
         jnp.zeros((1, H, W, 1), jnp.float32),
         jnp.zeros((1, H, W), jnp.float32),
     )
-    variables = model.init(jax.random.PRNGKey(seed), *dummy, train=False)
+    variables = init_on_host_cpu(model, jax.random.PRNGKey(seed), dummy)
     start_epoch = 0
     ckpt = config.get("ckpt")
     if ckpt:

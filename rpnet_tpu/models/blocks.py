@@ -111,6 +111,19 @@ class UpConv(nn.Module):
         return nn.relu(x)
 
 
+class ConvRelu(nn.Module):
+    """conv+ReLU factory equivalent (convrelu, net/modules.py:35-39)."""
+    features: int
+    kernel: int = 3
+    padding: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        x = TorchConv(self.features, (self.kernel, self.kernel),
+                      padding=[(self.padding, self.padding)] * 2, name="conv")(x)
+        return nn.relu(x)
+
+
 class SingleConv(nn.Module):
     """conv+ReLU (single_conv, net/modules.py:23-33)."""
     features: int

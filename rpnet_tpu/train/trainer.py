@@ -129,6 +129,8 @@ def make_train_step(model, config, optimizer) -> Callable:
 
 def init_train_state(model, config, rng, sample_shapes=None) -> Dict:
     """Initialize params/batch_stats/optimizer for training."""
+    from rpnet_tpu.utils.device import init_on_host_cpu
+
     H, W = config.get("crop_size", [256, 256])
     k = int(config.get("k", 12))
     dummy = (jnp.zeros((1, 1, k, H, W, 1), jnp.float32),
@@ -136,7 +138,7 @@ def init_train_state(model, config, rng, sample_shapes=None) -> Dict:
              jnp.ones((1, 1, k, H, W), jnp.float32),
              jnp.zeros((k, H, W, 1), jnp.float32),
              jnp.zeros((k, H, W), jnp.float32))
-    variables = model.init(rng, *dummy, train=False)
+    variables = init_on_host_cpu(model, rng, dummy)
     optimizer = make_optimizer(config)
     opt_state = optimizer.init(variables["params"])
     return {"step": 0, "params": variables["params"],

@@ -1,0 +1,31 @@
+"""Device helpers."""
+
+from __future__ import annotations
+
+import os
+
+
+def init_on_host_cpu(model, rng, dummy, train: bool = False):
+    """Initialize flax params on the host CPU backend, then move them to the
+    default device.
+
+    On tunneled TPU backends, compiling the init program remotely takes
+    minutes; tracing it on the CPU takes seconds and the parameters are
+    identical. The correlation impl is pinned to XLA during the trace (the
+    Pallas kernel can't run on CPU and parameters don't depend on it).
+    """
+    import jax
+
+    dev = jax.devices()[0]
+    try:
+        os.environ["RPNET_CORR_IMPL"] = "xla"
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            variables = model.init(rng, *dummy, train=train)
+        if dev.platform != "cpu":
+            variables = jax.device_put(variables, dev)
+        return variables
+    except RuntimeError:
+        return model.init(rng, *dummy, train=train)
+    finally:
+        os.environ.pop("RPNET_CORR_IMPL", None)
