@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--fit-scale", type=int, default=4,
                     help="registration fit resolution divisor (1 = reference-"
                          "exact trajectory; theta is resolution-invariant)")
+    ap.add_argument("--dtype", default="float32",
+                    help="network compute dtype (float32 | bfloat16); "
+                         "registration and metrics always run f32")
     args = ap.parse_args()
 
     if args.platform:
@@ -83,8 +86,14 @@ def main():
         os.environ.pop("RPNET_CORR_IMPL", None)
     log(f"init: {time.time() - t0:.1f}s")
 
+    compute_dtype = jnp.dtype(args.dtype)
+    if compute_dtype != jnp.float32:
+        variables = jax.tree_util.tree_map(
+            lambda x: x.astype(compute_dtype)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, variables)
     fn = jax.jit(episode_metrics_fn(model, affine_iters=args.affine_iters,
-                                    demons_iters=0, fit_scale=args.fit_scale))
+                                    demons_iters=0, fit_scale=args.fit_scale,
+                                    compute_dtype=compute_dtype))
 
     # synthetic episodes: misaligned ellipse organs (registration has real work)
     rng = np.random.RandomState(0)

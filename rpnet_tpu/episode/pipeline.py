@@ -30,7 +30,8 @@ from rpnet_tpu.registration.fit import register_episode
 
 def episode_metrics_fn(model, affine_iters: int, demons_iters: int,
                        fit_scale: int = 1, sampler: str = "matmul",
-                       multishot: bool = False):
+                       multishot: bool = False,
+                       compute_dtype=jnp.float32):
     """Build the pure episode function for `model` (un-jitted).
 
     ``multishot=False`` (default) reproduces the reference: only shot 0 is
@@ -40,6 +41,11 @@ def episode_metrics_fn(model, affine_iters: int, demons_iters: int,
     the query, all warped supports feed the model's shot axis (prototypes
     average over shots, net/rp_net.py:379-391 semantics), and the
     registration prior is the mean of the per-shot warped labels > 0.5.
+
+    ``compute_dtype=bfloat16`` runs the NETWORK stage in bf16 (params are
+    cast by the runner; inputs cast here) — halves activation HBM traffic and
+    doubles MXU rate. Registration (stage 1) and metrics (stage 3) always stay
+    float32: the Adam fit and Dice thresholds are precision-sensitive.
     """
 
     def fn(variables, supp_img, supp_lab, qry_img, qry_lab, slice_mask):
@@ -68,9 +74,11 @@ def episode_metrics_fn(model, affine_iters: int, demons_iters: int,
         # ---- stage 2: network ----
         back_t = 1.0 - fore_t
         qry_t = qry_img[..., None]
-        out = model.apply(variables, supp_t, fore_t, back_t, qry_t, appr,
-                          train=False)
-        ref_probs = jax.nn.softmax(out["refinement"], axis=-1)[..., 1]  # (T,Dq,H,W)
+        cast = lambda a: a.astype(compute_dtype)
+        out = model.apply(variables, cast(supp_t), cast(fore_t), cast(back_t),
+                          cast(qry_t), cast(appr), train=False)
+        refinement = out["refinement"].astype(jnp.float32)
+        ref_probs = jax.nn.softmax(refinement, axis=-1)[..., 1]  # (T,Dq,H,W)
         ref_preds = (ref_probs > 0.5).astype(jnp.float32)
         fewshot_pred = ref_preds[-1]
 
@@ -122,8 +130,16 @@ class EpisodeRunner:
         fit_scale = int(config.get("reg_fit_scale", 1))
         sampler = str(config.get("reg_sampler", "matmul"))
         multishot = bool(config.get("multishot_fusion", False))
+        compute_dtype = jnp.dtype(config.get("compute_dtype", "float32"))
+        if compute_dtype != jnp.float32:
+            # cast params once; BN stats/scales in bf16 are standard inference
+            # practice (registration + metrics remain f32 inside the fn)
+            variables = jax.tree_util.tree_map(
+                lambda x: x.astype(compute_dtype)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                variables)
         fn = episode_metrics_fn(model, affine_iters, demons_iters, fit_scale,
-                                sampler, multishot)
+                                sampler, multishot, compute_dtype)
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P

@@ -60,7 +60,8 @@ def _corr_kernel(fm2p_hbm, fm1_ref, out_ref, scratch, sem, *,
         slab = scratch[pl.ds(dy, H_tile)]   # (H_tile, W+2r, C)
         for dx in range(d):                 # static; horizontal slow (quirk)
             sub = slab[:, dx:dx + W, :]
-            acc = jnp.sum(fm1 * sub, axis=-1) * scale   # (H_tile, W)
+            # accumulate in f32 regardless of input dtype (bf16 inputs OK)
+            acc = jnp.sum((fm1 * sub).astype(jnp.float32), axis=-1) * scale
             out_ref[0, dx * d + dy, :, :] = acc
         return 0
 

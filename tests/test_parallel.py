@@ -92,3 +92,28 @@ def test_dryrun_multichip_entrypoint():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_sharded_train_step(rng):
+    """The mesh-sharded train step API runs and moves params."""
+    import jax.numpy as jnp
+
+    from rpnet_tpu.train.trainer import (init_train_state, make_optimizer,
+                                         sharded_train_step)
+
+    mesh = make_mesh({"data": 4, "model": 2})
+    cfg = Config({"backbone": "UNet", "crop_size": [16, 16], "k": 2,
+                  "n_iter_refinement": 1, "mask_refinement_correlation_radius": 1,
+                  "reg_affine_iters": 2, "init_lr": 1e-4})
+    model = model_factory["RP_Net"](cfg, num_iter=1)
+    opt = make_optimizer(cfg)
+    state = init_train_state(model, cfg, jax.random.PRNGKey(0))
+    run = sharded_train_step(model, cfg, opt, mesh)
+    E, k, H = 4, 2, 16
+    batch = (rng.randn(E, 1, k, H, H).astype(np.float32) * 0.1,
+             (rng.rand(E, 1, k, H, H) > 0.8).astype(np.float32),
+             rng.randn(E, k, H, H).astype(np.float32) * 0.1,
+             (rng.rand(E, k, H, H) > 0.8).astype(np.float32))
+    new_state, metrics = run(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert new_state["step"] == 1
