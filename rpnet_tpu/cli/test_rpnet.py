@@ -25,7 +25,7 @@ import random
 import sys
 import time
 from collections import defaultdict
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

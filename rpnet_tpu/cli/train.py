@@ -15,7 +15,6 @@ import os
 import random
 import sys
 import time
-from collections import deque
 from typing import List
 
 import numpy as np

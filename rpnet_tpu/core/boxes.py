@@ -11,7 +11,7 @@ The reference's ``annotation2masks`` forgets its return statement
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import numpy as np
 

@@ -16,7 +16,7 @@ exist for the transforms that run on device inside the fused episode program.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import math
 

@@ -15,9 +15,8 @@ from __future__ import annotations
 
 import queue
 import random
-import threading
 from concurrent.futures import Future, ThreadPoolExecutor
-from typing import Iterator, Optional
+from typing import Iterator
 
 from rpnet_tpu.episode.sampler import Episode, EpisodeSampler
 

@@ -16,7 +16,7 @@ volume is processed in overlapping z-windows of the compiled episode program:
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Optional
 
 import numpy as np
 

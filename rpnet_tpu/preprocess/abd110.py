@@ -21,7 +21,7 @@ from __future__ import annotations
 import argparse
 import os
 from multiprocessing import Pool
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import numpy as np
 
