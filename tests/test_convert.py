@@ -114,3 +114,42 @@ def test_torchvision_vgg16_positional_load(rng):
     np.testing.assert_allclose(
         enc["stage3_conv2"]["conv"]["kernel"],
         np.transpose(sd["features.12.weight"], (2, 3, 1, 0)))
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path, rng):
+    """save_checkpoint → restore_into roundtrip with overlay semantics."""
+    from rpnet_tpu.train.checkpoint import restore_into, save_checkpoint
+
+    _, variables = _init_unet_model()
+    # perturb a leaf so restore provably overwrites it
+    perturbed = jax.tree_util.tree_map(lambda x: x, variables)
+    path = str(tmp_path / "ckpt_e3")
+    save_checkpoint(path, step=3, variables=variables)
+
+    fresh_model, fresh_vars = _init_unet_model()
+    fresh_vars["params"]["encoder"]["enc1"]["conv1"]["conv"]["kernel"] = (
+        np.zeros_like(fresh_vars["params"]["encoder"]["enc1"]["conv1"]["conv"]["kernel"]))
+    restored, step = restore_into(fresh_vars, path)
+    assert step == 3
+    np.testing.assert_allclose(
+        restored["params"]["encoder"]["enc1"]["conv1"]["conv"]["kernel"],
+        variables["params"]["encoder"]["enc1"]["conv1"]["conv"]["kernel"])
+
+
+def test_torch_pth_checkpoint_loads(tmp_path, rng):
+    """A reference-format .pth checkpoint converts + overlays transparently."""
+    import torch
+
+    _, variables = _init_unet_model()
+    k = variables["params"]["encoder"]["enc1"]["conv1"]["conv"]["kernel"]
+    w = rng.randn(k.shape[3], k.shape[2], 3, 3).astype(np.float32)
+    sd = {"encoder.Conv1.conv.0.weight": torch.from_numpy(w)}
+    pth = str(tmp_path / "ref.pth")
+    torch.save({"epoch": 7, "state_dict": sd, "optimizer": {}}, pth)
+
+    from rpnet_tpu.train.checkpoint import restore_into
+    restored, step = restore_into(variables, pth)
+    assert step == 7
+    np.testing.assert_allclose(
+        restored["params"]["encoder"]["enc1"]["conv1"]["conv"]["kernel"],
+        np.transpose(w, (2, 3, 1, 0)))
