@@ -41,7 +41,9 @@ class ContextCorrelationEncoder(nn.Module):
         fm2 = Norm2d(name="w_q_norm")(fm2, train)
         fm2 = nn.relu(fm2)
 
-        if self.use_pallas:
+        if self.use_pallas and not train:
+            # inference fast path; the Pallas kernel has no autodiff rule, so
+            # training always uses the differentiable XLA formulation
             from rpnet_tpu.ops.pallas.correlation import local_correlation_auto
             corr = local_correlation_auto(fm1, fm2, self.radius)
         else:
