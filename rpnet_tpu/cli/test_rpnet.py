@@ -72,7 +72,16 @@ def build_model_and_runner(config: Config, seed: int = 0):
         print(f"[Loading model from {ckpt}]")
         from rpnet_tpu.train.checkpoint import restore_into
         variables, start_epoch = restore_into(variables, ckpt)
-    runner = EpisodeRunner(model, variables, config)
+
+    # multi-chip: shard the query-slice axis over the mesh's data axis
+    # (mesh_shape: {data: N} in the YAML, or automatic when >1 device)
+    mesh = None
+    mesh_shape = config.get("mesh_shape")
+    if mesh_shape or len(jax.devices()) > 1:
+        from rpnet_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(dict(mesh_shape) if mesh_shape else None)
+        print(f"[mesh {dict(mesh.shape)} over {len(jax.devices())} devices]")
+    runner = EpisodeRunner(model, variables, config, mesh=mesh)
     return model, variables, runner, start_epoch
 
 

@@ -22,7 +22,12 @@ from rpnet_tpu.core.metrics import mse
 from rpnet_tpu.ops.sampling import affine_grid, grid_sample, grid_sample_matmul
 
 # theta * stop_shear mask keeps only scale+translation (net/registration.py:324)
-STOP_SHEAR_MASK_2D = jnp.asarray([[1.0, 0.0, 1.0], [0.0, 1.0, 1.0]])
+# NOTE: numpy, not jnp — a module-level device array would initialize the jax
+# backend at import time, locking the platform before CLIs can select one.
+import numpy as _np
+
+STOP_SHEAR_MASK_2D = _np.asarray([[1.0, 0.0, 1.0], [0.0, 1.0, 1.0]],
+                                 dtype=_np.float32)
 
 
 def identity_theta(dtype=jnp.float32):
