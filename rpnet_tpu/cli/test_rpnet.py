@@ -149,6 +149,9 @@ def main(argv=None):
     seed = int(config.get("seed", 0))
     np.random.seed(seed)
     random.seed(seed)
+    if config.get("debug_nans"):
+        from rpnet_tpu.utils.profiling import enable_nan_debugging
+        enable_nan_debugging(True)
 
     out_dir = config.get("out_dir") or "./results/{}/".format(
         os.path.splitext(os.path.basename(args.yaml))[0])
