@@ -42,8 +42,10 @@ class ContextCorrelationEncoder(nn.Module):
         fm2 = nn.relu(fm2)
 
         if self.use_pallas and not train:
-            # inference fast path; the Pallas kernel has no autodiff rule, so
-            # training always uses the differentiable XLA formulation
+            # Pallas forward on TPU (inference). Training uses the XLA path:
+            # the trainer vmaps episodes and pallas_call's ANY-memspace DMA
+            # has no batching rule (a custom VJP exists —
+            # local_correlation_pallas_vjp — but not a custom vmap yet).
             from rpnet_tpu.ops.pallas.correlation import local_correlation_auto
             corr = local_correlation_auto(fm1, fm2, self.radius)
         else:

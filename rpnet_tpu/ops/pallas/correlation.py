@@ -105,6 +105,52 @@ def local_correlation_pallas(fm1, fm2, r: int, h_tile: int = 16,
     return jnp.transpose(out, (0, 2, 3, 1)).astype(fm1.dtype)
 
 
+# ---------------------------------------------------------------- custom VJP
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def local_correlation_pallas_vjp(fm1, fm2, r: int):
+    """Differentiable wrapper: Pallas forward, analytic XLA backward.
+
+    The backward of the local correlation has the same local-shift structure
+    as the forward:
+      dfm1[p, c] = Σ_d g[p, d] · fm2[p + δ(d), c] · scale
+      dfm2[q, c] = Σ_d g[q - δ(d), d] · fm1[q - δ(d), c] · scale
+    computed as (2r+1)² shifted products in XLA (these fuse well; the forward
+    is the bandwidth-critical piece).
+    """
+    return local_correlation_pallas(fm1, fm2, r)
+
+
+def _corr_fwd(fm1, fm2, r):
+    return local_correlation_pallas(fm1, fm2, r), (fm1, fm2)
+
+
+def _corr_bwd(r, res, g):
+    fm1, fm2 = res
+    B, H, W, C = fm1.shape
+    d = 2 * r + 1
+    scale = 1.0 / np.sqrt(float(C))
+    g = g.astype(jnp.float32)
+    fm2p = jnp.pad(fm2, ((0, 0), (r, r), (r, r), (0, 0)))
+    # dfm1 = Σ_d g_d · shift_d(fm2)
+    dfm1 = jnp.zeros_like(fm1, dtype=jnp.float32)
+    for dx in range(d):                  # channel order: dx slow (quirk)
+        for dy in range(d):
+            sub = fm2p[:, dy:dy + H, dx:dx + W, :]
+            dfm1 = dfm1 + g[..., dx * d + dy][..., None] * sub
+    # dfm2 = Σ_d shift_{-d}(g_d · fm1): accumulate into a padded buffer
+    dfm2p = jnp.zeros((B, H + 2 * r, W + 2 * r, C), jnp.float32)
+    for dx in range(d):
+        for dy in range(d):
+            contrib = g[..., dx * d + dy][..., None] * fm1
+            dfm2p = dfm2p.at[:, dy:dy + H, dx:dx + W, :].add(contrib)
+    dfm2 = dfm2p[:, r:r + H, r:r + W, :]
+    return (dfm1 * scale).astype(fm1.dtype), (dfm2 * scale).astype(fm2.dtype)
+
+
+local_correlation_pallas_vjp.defvjp(_corr_fwd, _corr_bwd)
+
+
 def local_correlation_auto(fm1, fm2, r: int):
     """Dispatch to the best implementation.
 
@@ -128,7 +174,8 @@ def local_correlation_auto(fm1, fm2, r: int):
     if impl is None:
         impl = "pallas" if on_tpu else "xla"
     if impl == "pallas" and on_tpu:
-        return local_correlation_pallas(fm1, fm2, r)
+        # the custom-VJP wrapper makes the kernel differentiable (training)
+        return local_correlation_pallas_vjp(fm1, fm2, r)
     if impl == "mxu":
         from rpnet_tpu.ops.correlation import local_correlation_mxu
         return local_correlation_mxu(fm1, fm2, r)

@@ -212,3 +212,23 @@ def test_grid_sample_matmul_chunked_matches(rng):
     out = np.asarray(grid_sample_matmul_chunked(x, grid, row_chunk=4,
                                                 precision="highest"))
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_pallas_vjp_backward_matches_xla_grad(rng):
+    """Analytic backward of the Pallas wrapper ≡ autodiff of the XLA path."""
+    import jax
+
+    from rpnet_tpu.ops.pallas.correlation import _corr_bwd
+
+    B, H, W, C, r = 2, 8, 10, 16, 2
+    f1 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    g = jnp.asarray(rng.randn(B, H, W, (2 * r + 1) ** 2).astype(np.float32))
+
+    def loss(a, b):
+        return jnp.sum(local_correlation(a, b, r) * g)
+
+    ref1, ref2 = jax.grad(loss, argnums=(0, 1))(f1, f2)
+    out1, out2 = _corr_bwd(r, (f1, f2), g)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(ref1), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), atol=1e-4)
