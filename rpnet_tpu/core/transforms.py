@@ -166,5 +166,38 @@ def gamma_transform(img: np.ndarray, gamma_range: Sequence[float], rng: np.rando
     return img * 2 - 1
 
 
-# backwards-compat alias using the reference's (misspelled) public name
+def gamma_transform_with_label(img: np.ndarray, label: np.ndarray,
+                               gamma_range: Sequence[float],
+                               rng: np.random.RandomState | None = None):
+    """Gamma jitter applied ONLY inside the label region
+    (gamma_tansform_with_label, few_shot_reader.py:214-229)."""
+    old_img = img
+    jittered = gamma_transform(img, gamma_range, rng)
+    return old_img * (1 - label) + jittered * label
+
+
+def random_label_transform(label: np.ndarray, degrees: float = 5.0,
+                           translate: float = 0.02, scale_range=(0.5, 1.5),
+                           shear: float = 5.0,
+                           rng: np.random.RandomState | None = None) -> np.ndarray:
+    """Random affine jitter of a binary label (random_label_transform,
+    few_shot_reader.py:50-60 — used by the reference's commented-out
+    prior-perturbation experiment; provided for completeness)."""
+    import cv2
+
+    r = rng or np.random
+    H, W = label.shape
+    ang = r.uniform(-degrees, degrees)
+    sc = r.uniform(*scale_range)
+    M = cv2.getRotationMatrix2D((W / 2, H / 2), ang, sc)
+    sh = np.tan(np.deg2rad(r.uniform(-shear, shear)))
+    M[0, 1] += sh
+    M[0, 2] += r.uniform(-translate, translate) * W
+    M[1, 2] += r.uniform(-translate, translate) * H
+    return cv2.warpAffine(label.astype(np.float32), M, (W, H),
+                          flags=cv2.INTER_NEAREST, borderValue=0.0)
+
+
+# backwards-compat aliases using the reference's (misspelled) public names
 gamma_tansform = gamma_transform
+gamma_tansform_with_label = gamma_transform_with_label

@@ -113,3 +113,24 @@ def test_dice_score_conventions():
     pred2 = np.ones((2, 2))
     true2 = np.ones((2, 2))
     assert dice_score(pred2, true2, num_class=1) == [None]  # class 0 == background
+
+
+def test_gamma_with_label_only_touches_label_region(rng):
+    img = rng.uniform(-1, 1, (8, 8)).astype(np.float32)
+    label = np.zeros((8, 8), np.float32)
+    label[2:5, 2:5] = 1
+    from rpnet_tpu.core.transforms import gamma_transform_with_label
+    out = gamma_transform_with_label(img, label, [0.4, 0.6],
+                                     rng=np.random.RandomState(0))
+    np.testing.assert_array_equal(out[label == 0], img[label == 0])
+    assert not np.allclose(out[label == 1], img[label == 1])
+
+
+def test_random_label_transform_binary(rng):
+    from rpnet_tpu.core.transforms import random_label_transform
+    label = np.zeros((32, 32), np.float32)
+    label[10:22, 8:20] = 1
+    out = random_label_transform(label, rng=np.random.RandomState(0))
+    assert out.shape == label.shape
+    assert set(np.unique(out)) <= {0.0, 1.0}
+    assert out.sum() > 0
