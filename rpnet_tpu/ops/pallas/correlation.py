@@ -105,6 +105,82 @@ def local_correlation_pallas(fm1, fm2, r: int, h_tile: int = 16,
     return jnp.transpose(out, (0, 2, 3, 1)).astype(fm1.dtype)
 
 
+# ------------------------------------------------------------- MXU variant
+
+def _corr_mxu_kernel(band_ref, fm2p_hbm, fm1_ref, out_ref, scratch, sem, *,
+                     H_tile, W, r, scale):
+    """MXU formulation in-kernel: per vertical shift dy, one batched matmul
+    fm1 (Ht, W, C) × slab (Ht, Wp, C)ᵀ → (Ht, W, Wp) row-band correlations,
+    then banded-mask reductions extract the (2r+1) horizontal displacements.
+    Avoids the per-displacement cross-lane channel reduction of _corr_kernel.
+    """
+    d = 2 * r + 1
+    b = pl.program_id(0)
+    ht = pl.program_id(1)
+
+    dma = pltpu.make_async_copy(
+        fm2p_hbm.at[b, pl.ds(ht * H_tile, H_tile + 2 * r), :, :],
+        scratch, sem)
+    dma.start()
+    fm1 = fm1_ref[0]                       # (Ht, W, C)
+    dma.wait()
+
+    def body(dy, _):
+        slab = scratch[pl.ds(dy, H_tile)]  # (Ht, Wp, C)
+        cdy = jax.lax.dot_general(
+            fm1, slab, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)         # (Ht, W, Wp) MXU
+        for dx in range(d):
+            acc = jnp.sum(cdy * band_ref[dx][None], axis=-1) * scale
+            out_ref[0, dx * d + dy, :, :] = acc
+        return 0
+
+    jax.lax.fori_loop(0, d, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("r", "h_tile", "interpret"))
+def local_correlation_pallas_mxu(fm1, fm2, r: int, h_tile: int = 16,
+                                 interpret: bool = False):
+    """MXU-in-kernel local correlation; same contract/ordering as the others."""
+    B, H, W, C = fm1.shape
+    d = 2 * r + 1
+    scale = float(1.0 / np.sqrt(float(C)))
+    h_tile = min(h_tile, H)
+    if H % h_tile != 0:
+        h_tile = H
+    n_htiles = H // h_tile
+
+    Wp = -(-(W + 2 * r) // 8) * 8
+    fm2p = jnp.pad(fm2, ((0, 0), (r, r), (r, Wp - W - r), (0, 0)))
+    # band[dx, w, v] = 1 iff v == w + dx (the diagonal extraction masks)
+    band = (np.arange(Wp)[None, None, :]
+            == (np.arange(W)[None, :, None] + np.arange(d)[:, None, None]))
+    band = jnp.asarray(band, dtype=jnp.float32)
+
+    kernel = functools.partial(_corr_mxu_kernel, H_tile=h_tile, W=W, r=r,
+                               scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, d * d, H, W), jnp.float32),
+        grid=(B, n_htiles),
+        in_specs=[
+            pl.BlockSpec((d, W, Wp), lambda b, h: (0, 0, 0),
+                         memory_space=pltpu.VMEM),       # band (broadcast)
+            pl.BlockSpec(memory_space=pltpu.ANY),        # fm2p off-chip
+            pl.BlockSpec((1, h_tile, W, C), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, d * d, h_tile, W), lambda b, h: (b, 0, h, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((h_tile + 2 * r, Wp, C), fm2.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(band, fm2p, fm1)
+    return jnp.transpose(out, (0, 2, 3, 1)).astype(fm1.dtype)
+
+
 # ---------------------------------------------------------------- custom VJP
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

@@ -232,3 +232,14 @@ def test_pallas_vjp_backward_matches_xla_grad(rng):
     out1, out2 = _corr_bwd(r, (f1, f2), g)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(ref1), atol=1e-4)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), atol=1e-4)
+
+
+def test_pallas_mxu_kernel_matches_xla(rng):
+    from rpnet_tpu.ops.pallas.correlation import local_correlation_pallas_mxu
+
+    f1 = jnp.asarray(rng.randn(2, 16, 16, 64).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(2, 16, 16, 64).astype(np.float32))
+    ref = np.asarray(local_correlation(f1, f2, 3))
+    out = np.asarray(local_correlation_pallas_mxu(f1, f2, 3, h_tile=8,
+                                                  interpret=True))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
