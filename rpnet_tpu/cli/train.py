@@ -73,17 +73,31 @@ def main(argv=None):
                              config, mode="train")
     print(f"[length of train loader {len(sampler)}]")
 
+    epochs = args.epochs or int(config.get("epochs", 100))
+    batch_size = int(config.get("batch_size", 4))
+    epi_per_epoch = args.episodes_per_epoch or len(sampler)
+    epoch_save = int(config.get("epoch_save", 1))
+    steps_per_epoch = max(1, -(-epi_per_epoch // batch_size))
+
     model = model_factory[config.get("net", "RP_Net")](
         config, align=True, num_iter=config["n_iter_refinement"])
-    optimizer = make_optimizer(config)
-    state = init_train_state(model, config, jax.random.PRNGKey(seed))
+    optimizer = make_optimizer(config, steps_per_epoch=steps_per_epoch)
+    state = init_train_state(model, config, jax.random.PRNGKey(seed),
+                             optimizer=optimizer)
     start_epoch = 0
     if config.get("ckpt"):
+        from rpnet_tpu.train.checkpoint import restore_opt_state
         variables, start_epoch = restore_into(
             {"params": state["params"], "batch_stats": state["batch_stats"]},
             config["ckpt"])
         state["params"] = variables["params"]
         state["batch_stats"] = variables["batch_stats"]
+        # resume Adam moments + schedule step when the checkpoint has them
+        # (torch .pth checkpoints don't; orbax ones from save_checkpoint do)
+        restored_opt = restore_opt_state(state["opt_state"], config["ckpt"])
+        if restored_opt is not None:
+            state["opt_state"] = restored_opt
+            state["step"] = start_epoch * steps_per_epoch
 
     train_step = jax.jit(make_train_step(model, config, optimizer))
 
@@ -93,11 +107,6 @@ def main(argv=None):
         writer = SummaryWriter(os.path.join(out_dir, "runs"))
     except Exception:
         pass
-
-    epochs = args.epochs or int(config.get("epochs", 100))
-    batch_size = int(config.get("batch_size", 4))
-    epi_per_epoch = args.episodes_per_epoch or len(sampler)
-    epoch_save = int(config.get("epoch_save", 1))
 
     order = list(range(len(sampler)))
     for epoch in range(start_epoch, epochs):

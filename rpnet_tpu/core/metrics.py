@@ -84,10 +84,25 @@ def mse(y_pred, y_true):
     return jnp.mean((y_true - y_pred) ** 2)
 
 
-def ncc(moving, fixed):
-    """Negative global normalized cross-correlation (net/registration.py:157-160)."""
-    fc = fixed - jnp.mean(fixed)
-    mc = moving - jnp.mean(moving)
+def ncc(moving, fixed, weight=None):
+    """Negative global normalized cross-correlation (net/registration.py:157-160).
+
+    With ``weight`` (broadcastable 0/1 mask), means/variances are computed
+    over valid elements only — padded slices don't bias the statistics, so
+    the value matches the reference's unpadded per-episode NCC.
+    """
+    if weight is None:
+        fc = fixed - jnp.mean(fixed)
+        mc = moving - jnp.mean(moving)
+        num = jnp.sum(fc * mc)
+        den = jnp.sqrt(jnp.sum(fc ** 2) * jnp.sum(mc ** 2) + 1e-10)
+        return -1.0 * num / den
+    w = jnp.broadcast_to(weight, fixed.shape).astype(fixed.dtype)
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    fmean = jnp.sum(fixed * w) / n
+    mmean = jnp.sum(moving * w) / n
+    fc = (fixed - fmean) * w
+    mc = (moving - mmean) * w
     num = jnp.sum(fc * mc)
     den = jnp.sqrt(jnp.sum(fc ** 2) * jnp.sum(mc ** 2) + 1e-10)
     return -1.0 * num / den

@@ -87,10 +87,11 @@ def episode_metrics_fn(model, affine_iters: int, demons_iters: int,
         dsc_fewshot, _ = dice_jax(fewshot_pred, qry_lab, weight=w)
         dsc_ref, _ = jax.vmap(lambda p: dice_jax(p, qry_lab, weight=w))(ref_preds)
 
-        # NCC diagnostics (test_rpnet.py:229-230) over valid slices
+        # NCC diagnostics (test_rpnet.py:229-230) over valid slices only —
+        # mask-weighted statistics so slice-bucket padding doesn't bias them
         w3 = w[:, None, None]
-        ncc_warped = ncc(reg_warped_src * w3, qry_img * w3)
-        ncc_raw = ncc(supp_img[0] * w3, qry_img * w3)
+        ncc_warped = ncc(reg_warped_src, qry_img, weight=w3)
+        ncc_raw = ncc(supp_img[0], qry_img, weight=w3)
 
         return {
             "dsc_affine": dsc_affine,

@@ -156,7 +156,14 @@ topk_dice_loss = binary_dice_loss
 
 def topk_neg(pred, target, k: int = 5, base: int = 1000):
     """Hard-negative/positive selection (topk_neg, net/unet.py:288-309):
-    keep the base*k highest-scoring negatives and base lowest positives."""
+    keep the base*k highest-scoring negatives and base lowest positives.
+
+    When fewer than base*k negatives (or base positives) exist, top_k would
+    return sentinel-scored entries of the OPPOSITE label; the reference
+    slices only available ones. Static shapes forbid slicing, so a validity
+    weight masks the overflow entries instead: returns (pred, target,
+    weight) with weight=0 on invalid selections.
+    """
     pred = pred.reshape(-1)
     target = target.reshape(-1)
     neg_scores = jnp.where(target == 0, pred, -jnp.inf)
@@ -165,7 +172,8 @@ def topk_neg(pred, target, k: int = 5, base: int = 1000):
     neg_vals, neg_idx = jax.lax.top_k(neg_scores, min(topk, pred.shape[0]))
     pos_vals, pos_idx = jax.lax.top_k(-pos_scores, min(base, pred.shape[0]))
     keep = jnp.concatenate([pos_idx, neg_idx])
-    return pred[keep], target[keep]
+    valid = jnp.concatenate([jnp.isfinite(pos_vals), jnp.isfinite(neg_vals)])
+    return pred[keep], target[keep], valid.astype(pred.dtype)
 
 
 LOSS_REGISTRY = {

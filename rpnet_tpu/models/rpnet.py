@@ -255,10 +255,12 @@ class RPNet(nn.Module):
             logits = interpolate_bilinear(logits, (Hm, Wm))
             fm = fore_mask[way, shot]
             bm = back_mask[way, shot]
-            # supp_label: 1 where fg, 0 where bg, ignored elsewhere
+            # supp_label: fg=1 then OVERWRITTEN bg=0 — bg wins on overlap
+            # (net/rp_net.py:433-436 assigns fore first, back second)
             logp = jax.nn.log_softmax(logits, axis=-1)
-            ce = -(fm * logp[..., 1] + bm * (1 - fm) * logp[..., 0])
-            valid = jnp.maximum(fm + bm * (1 - fm), 0)
+            fg_w = fm * (1.0 - bm)
+            ce = -(fg_w * logp[..., 1] + bm * logp[..., 0])
+            valid = fg_w + bm
             return jnp.sum(ce) / jnp.maximum(jnp.sum(valid), 1.0)
 
         loss = 0.0

@@ -68,6 +68,30 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
     return ckptr.restore(os.path.abspath(path))
 
 
+def restore_opt_state(fresh_opt_state, path: str):
+    """Restore a saved opt_state INTO the structure of a fresh one.
+
+    orbax flattens optax NamedTuples to dicts on a bare restore; passing the
+    fresh opt_state as the item template recovers the exact pytree (Adam
+    moments + schedule count). Returns None if the checkpoint is a torch
+    .pth (reference checkpoints carry a torch optimizer state — not
+    transferable) or stores no opt_state.
+    """
+    if path.endswith((".pth", ".pt", ".tar")) or os.path.isfile(path):
+        return None
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    probe = ckptr.restore(os.path.abspath(path))
+    if not (isinstance(probe, dict) and probe.get("opt_state") is not None):
+        return None
+    template = {"step": 0,
+                "variables": jax.tree_util.tree_map(np.asarray, probe["variables"]),
+                "opt_state": fresh_opt_state}
+    full = ckptr.restore(os.path.abspath(path), item=template)
+    return full["opt_state"]
+
+
 def restore_into(variables, path: str, model_name: str = "RP_Net"):
     """Overlay-restore a checkpoint into freshly-initialized variables.
 

@@ -43,16 +43,22 @@ class TrainState:
         return {"params": self.params, "batch_stats": self.batch_stats}
 
 
-def make_optimizer(config):
-    """Adam + weight decay + step decay from the YAML optimizer block."""
+def make_optimizer(config, steps_per_epoch: int = 1):
+    """Adam + weight decay + step decay from the YAML optimizer block.
+
+    ``scheduler_step`` counts EPOCHS (torch StepLR convention); optax
+    schedules count optimizer updates, so the transition period is scaled
+    by ``steps_per_epoch`` (updates per epoch = ceil(episodes/batch)).
+    """
     init_lr = float(config.get("init_lr", 1e-5))
     wd = float(config.get("weight_decay", 0.0))
     step_epochs = int(config.get("scheduler_step", 30) or 0)
 
     if step_epochs > 0:
-        # ×0.1 every scheduler_step epochs (torch StepLR convention)
-        sched = optax.exponential_decay(init_lr, transition_steps=step_epochs,
-                                        decay_rate=0.1, staircase=True)
+        # ×0.1 every scheduler_step EPOCHS = scheduler_step×steps_per_epoch updates
+        sched = optax.exponential_decay(
+            init_lr, transition_steps=step_epochs * max(int(steps_per_epoch), 1),
+            decay_rate=0.1, staircase=True)
     else:
         sched = init_lr
     opt_name = str(config.get("optimizer", "Adam")).lower()
@@ -97,9 +103,9 @@ def make_train_step(model, config, optimizer) -> Callable:
             train=True, mutable=["batch_stats"])
         logits = out["output"]
         labels = qry_lab.astype(jnp.int32)
-        loss = seg_loss(logits, labels) + align_scaler * out["align_loss"]
-        metrics = {"seg_loss": seg_loss(logits, labels),
-                   "align_loss": out["align_loss"]}
+        seg = seg_loss(logits, labels)
+        loss = seg + align_scaler * out["align_loss"]
+        metrics = {"seg_loss": seg, "align_loss": out["align_loss"]}
         return loss, (metrics, mutated["batch_stats"])
 
     def batch_loss(params, batch_stats, batch):
@@ -127,8 +133,13 @@ def make_train_step(model, config, optimizer) -> Callable:
     return train_step
 
 
-def init_train_state(model, config, rng, sample_shapes=None) -> Dict:
-    """Initialize params/batch_stats/optimizer for training."""
+def init_train_state(model, config, rng, sample_shapes=None,
+                     optimizer=None) -> Dict:
+    """Initialize params/batch_stats/optimizer for training.
+
+    Pass the SAME ``optimizer`` used for train steps so the opt_state
+    matches its schedule (otherwise a default one is built here).
+    """
     from rpnet_tpu.utils.device import init_on_host_cpu
 
     H, W = config.get("crop_size", [256, 256])
@@ -139,7 +150,8 @@ def init_train_state(model, config, rng, sample_shapes=None) -> Dict:
              jnp.zeros((k, H, W, 1), jnp.float32),
              jnp.zeros((k, H, W), jnp.float32))
     variables = init_on_host_cpu(model, rng, dummy)
-    optimizer = make_optimizer(config)
+    if optimizer is None:
+        optimizer = make_optimizer(config)
     opt_state = optimizer.init(variables["params"])
     return {"step": 0, "params": variables["params"],
             "batch_stats": variables.get("batch_stats", {}),
@@ -147,19 +159,38 @@ def init_train_state(model, config, rng, sample_shapes=None) -> Dict:
 
 
 def sharded_train_step(model, config, optimizer, mesh):
-    """jit the train step over a mesh: batch on ``data``, params per TP rule."""
+    """jit the train step over a mesh: batch on ``data``, params per TP rule.
+
+    State leaves (params AND the optimizer's param-shaped moments) are
+    device_put with the tensor-parallel rule so GSPMD keeps TP shardings
+    stable across steps instead of re-deciding layouts per output.
+    """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from rpnet_tpu.parallel.mesh import shard_params
-
     step = make_train_step(model, config, optimizer)
+
+    n_model = mesh.shape.get("model", 1)
+
+    def leaf_sharding(leaf):
+        shape = getattr(leaf, "shape", ())
+        if (n_model > 1 and len(shape) == 4 and shape[-1] >= 256
+                and shape[-1] % n_model == 0):
+            return NamedSharding(mesh, P(None, None, None, "model"))
+        return NamedSharding(mesh, P())
 
     def spec_for_batch(ndim):
         return NamedSharding(mesh, P(*(["data"] + [None] * (ndim - 1))))
 
+    def shard_state(state):
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, leaf_sharding(x)), state)
+
+    jitted = jax.jit(step, donate_argnums=(0,))
+
     def run(state, batch):
+        # idempotent: already-sharded leaves are a no-op device_put
+        state = shard_state(state)
         batch = tuple(jax.device_put(b, spec_for_batch(np.ndim(b))) for b in batch)
         return jitted(state, batch)
 
-    jitted = jax.jit(step)
     return run

@@ -115,5 +115,14 @@ def test_topk_neg_selection(rng):
 
     pred = jnp.asarray(rng.randn(5000).astype(np.float32))
     target = jnp.asarray((rng.rand(5000) > 0.5).astype(np.float32))
-    p, t = topk_neg(pred, target, k=1, base=100)
+    p, t, w = topk_neg(pred, target, k=1, base=100)
     assert p.shape[0] == 100 + 100 * 1
+    assert float(w.sum()) == p.shape[0]  # enough of both labels → all valid
+
+    # scarce negatives: only 10 exist, so 90 of the k*base=100 negative
+    # slots must be marked invalid rather than leaking positives
+    target_scarce = jnp.concatenate([jnp.zeros(10), jnp.ones(4990)])
+    p2, t2, w2 = topk_neg(pred, target_scarce, k=1, base=100)
+    assert float(w2[100:].sum()) == 10.0
+    # every valid selected "negative" really has label 0
+    assert float(jnp.sum(t2[100:] * w2[100:])) == 0.0

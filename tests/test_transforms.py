@@ -134,3 +134,28 @@ def test_random_label_transform_binary(rng):
     assert out.shape == label.shape
     assert set(np.unique(out)) <= {0.0, 1.0}
     assert out.sum() > 0
+
+
+def test_ncc_weighted_matches_unpadded(rng):
+    """Mask-weighted NCC over a padded stack == plain NCC over the valid
+    prefix — the parity contract with the reference's unpadded episodes
+    (net/registration.py:157-160 applied at test_rpnet.py:229-230)."""
+    import jax.numpy as jnp
+
+    from rpnet_tpu.core.metrics import ncc
+
+    D, H, W = 5, 16, 16
+    a = (rng.randn(D, H, W) + 1.0).astype(np.float32)   # non-zero mean, like HU
+    b = (0.5 * a + 0.5 * rng.randn(D, H, W) - 0.5).astype(np.float32)
+    pad = 3
+    a_pad = np.concatenate([a, np.zeros((pad, H, W), np.float32)])
+    b_pad = np.concatenate([b, np.zeros((pad, H, W), np.float32)])
+    w = np.concatenate([np.ones(D), np.zeros(pad)]).astype(np.float32)
+
+    plain = float(ncc(jnp.asarray(a), jnp.asarray(b)))
+    weighted = float(ncc(jnp.asarray(a_pad), jnp.asarray(b_pad),
+                         weight=jnp.asarray(w)[:, None, None]))
+    np.testing.assert_allclose(weighted, plain, atol=1e-5)
+    # and the unweighted value over the padded stack is indeed biased
+    biased = float(ncc(jnp.asarray(a_pad), jnp.asarray(b_pad)))
+    assert abs(biased - plain) > 1e-3
