@@ -1,0 +1,304 @@
+"""Golden full-model parity vs the ACTUAL reference implementation.
+
+Round-1 parity tests checked ops against torch oracles re-derived inside the
+test files; a shared misunderstanding could pass those. Here the reference
+itself (/root/reference, torch CPU) is executed: RP_Net is built, its
+state_dict converted through train/convert.py, and the rebuild must match
+layer by layer and end to end on seeded synthetic episodes:
+
+  * encoder d4 features        (net/unet.py:393-466, net/vgg.py:8-74)
+  * CRE output                 (net/rp_net.py:45-84)
+  * per-iteration refinement logits + final output (net/rp_net.py:226-350)
+  * final Dice of the thresholded prediction
+
+Reference quirks preserved/noted:
+  * the vgg full-model path CRASHES in the reference — vgg Encoder.forward
+    returns a raw tensor (net/vgg.py:36-37) but RP_Net indexes it with
+    ['d4'] (net/rp_net.py:249). Full-model golden parity therefore runs on
+    the UNet backbone; vgg gets encoder-level golden parity.
+  * eval drives n_test_iter_refinement iterations (test_rpnet.py:51).
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from rpnet_tpu.models.rpnet import RPNet
+from rpnet_tpu.train.checkpoint import overlay
+from rpnet_tpu.train.convert import convert_state_dict
+
+REFERENCE = "/root/reference"
+
+
+# ---------------------------------------------------------------- ref import
+
+def _stub_module(name, **attrs):
+    import importlib.machinery
+
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_net():
+    """Import the reference package with torchvision stubbed (not installed;
+    only the resnet backbone — untested here — needs the real thing)."""
+    if "torchvision" not in sys.modules:
+        tv = _stub_module("torchvision")
+        tv.models = _stub_module("torchvision.models", resnet18=None)
+        tv.models.resnet = _stub_module("torchvision.models.resnet",
+                                        BasicBlock=object)
+    # utils/util.py (imported transitively by net/unet.py) pulls viz/IO deps
+    # the image lacks; none are touched by the model forward paths under test
+    for name in ("pydicom", "SimpleITK", "nrrd", "nibabel", "torchviz"):
+        if name not in sys.modules:
+            _stub_module(name, dcmread=None, read=None, write=None,
+                         make_dot=None)
+    if "skimage" not in sys.modules:
+        sk = _stub_module("skimage")
+        sk.measure = _stub_module("skimage.measure")
+    if "sklearn" not in sys.modules:
+        skl = _stub_module("sklearn")
+        skl.metrics = _stub_module("sklearn.metrics", precision_score=None,
+                                   recall_score=None)
+    sys.modules.setdefault("dicom", sys.modules["pydicom"])
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    import net.rp_net as ref_rp_net
+    import net.vgg as ref_vgg
+    return ref_rp_net, ref_vgg
+
+
+# ------------------------------------------------------------------- helpers
+
+def _backbone_cfg(backbone, n_iter, radius):
+    return {
+        "scale": 8 if backbone == "vgg" else 4,
+        "n_iter_refinement": n_iter,
+        "use_relation_enc": "relation",
+        "soft_mask": False,
+        "mask_refinement_correlation_radius": radius,
+        "unet_normalize_type": "BatchNorm2d",
+        "mask_feature_map": "no",
+        "final_activation": "sigmoid",
+    }
+
+
+def _episode(B=2, H=64, W=64, seed=0):
+    """Seeded synthetic episode: misaligned soft ellipses + noise."""
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[:H, :W].astype(np.float32)
+
+    def organ(cy, cx, ry, rx):
+        d = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2
+        return (d < 1).astype(np.float32), np.exp(-d).astype(np.float32)
+
+    supp_img, qry_img = np.zeros((B, H, W), np.float32), np.zeros((B, H, W), np.float32)
+    fore = np.zeros((B, H, W), np.float32)
+    qry_lab = np.zeros((B, H, W), np.float32)
+    appr = np.zeros((B, H, W), np.float32)
+    for b in range(B):
+        m_s, i_s = organ(H / 2 + 4 * b, W / 2 - 3, H / 4, W / 5)
+        m_q, i_q = organ(H / 2 - 2 * b, W / 2 + 4, H / 4, W / 5)
+        m_a, _ = organ(H / 2 - 2 * b + 2, W / 2 + 2, H / 4, W / 5)
+        supp_img[b] = i_s + rng.randn(H, W).astype(np.float32) * 0.05
+        qry_img[b] = i_q + rng.randn(H, W).astype(np.float32) * 0.05
+        fore[b], qry_lab[b], appr[b] = m_s, m_q, m_a
+    return supp_img, fore, qry_img, qry_lab, appr
+
+
+def _build_pair(ref_net, backbone, n_iter, radius, B, H, W, seed=1):
+    """Reference torch model (non-trivial BN stats) + converted flax twin."""
+    ref_rp_net, _ = ref_net
+    torch.manual_seed(seed)
+    bcfg = _backbone_cfg(backbone, n_iter, radius)
+    # vgg expects 3-channel input (the forward expands 1→3, rp_net.py:247);
+    # UNet takes the raw 1-channel slice (img_ch=1 default, unet.py:394)
+    ref = ref_rp_net.RP_Net(in_channels=3 if backbone == "vgg" else 1,
+                            pretrained_path=None,
+                            cfg={"align": False, "backbone": backbone},
+                            backbone_cfg=bcfg)
+    # make BN running stats non-trivial: a few train-mode encoder passes
+    ref.train()
+    with torch.no_grad():
+        for s in range(3):
+            x = torch.randn(2, 1, H, W) * 0.5 + 0.1 * s
+            if backbone == "vgg":
+                ref.encoder(x.expand(-1, 3, -1, -1))
+            else:
+                ref.encoder(x, None)
+            c = ref.encoder(x, None) if backbone != "vgg" else None
+            if backbone == "UNet":
+                d4 = c["d4"]
+                m = torch.nn.functional.avg_pool2d(
+                    (torch.rand(2, 1, H, W) > 0.5).float(), bcfg["scale"])
+                ref.cre(d4 * m, d4 * (1 - m))
+    ref.eval()
+
+    model = RPNet(backbone=backbone, norm="BatchNorm2d", mask_feature_map="no",
+                  scale=bcfg["scale"], num_iter=n_iter, radius=radius,
+                  soft_mask=False, use_relation_enc="relation", align=False,
+                  use_pallas=False)
+    dummy = (jnp.zeros((1, 1, B, H, W, 1)), jnp.zeros((1, 1, B, H, W)),
+             jnp.ones((1, 1, B, H, W)), jnp.zeros((B, H, W, 1)),
+             jnp.zeros((B, H, W)))
+    variables = model.init(jax.random.PRNGKey(0), *dummy, train=False)
+    variables = jax.tree_util.tree_map(np.asarray, variables)
+
+    tree = convert_state_dict(ref.state_dict())
+    # conversion must cover EVERY param leaf of the rebuild — no silent
+    # partial conversion (the known-dead cre.w_context/cre.out are the only
+    # expected unmatched keys besides num_batches_tracked)
+    def leaf_paths(t):
+        return {jax.tree_util.keystr(p)
+                for p, _ in jax.tree_util.tree_flatten_with_path(t)[0]}
+    assert leaf_paths(tree["params"]) == leaf_paths(variables["params"])
+    assert leaf_paths(tree["batch_stats"]) == leaf_paths(variables["batch_stats"])
+    for k in tree["_unmatched_keys"]:
+        assert k.startswith(("cre.w_context.", "cre.out.")) \
+            or k.endswith("num_batches_tracked"), f"unexpected unmatched {k}"
+
+    merged = {"params": overlay(variables["params"], tree["params"]),
+              "batch_stats": overlay(variables["batch_stats"], tree["batch_stats"])}
+    return ref, model, merged, bcfg
+
+
+def _nhwc(t):
+    return np.transpose(t.detach().numpy(), (0, 2, 3, 1))
+
+
+# --------------------------------------------------------------------- tests
+
+@pytest.mark.parametrize("backbone", ["UNet", "vgg"])
+def test_golden_encoder_features(ref_net, backbone):
+    """Converted-weights encoder d4 must match the reference encoder."""
+    B, H, W = 2, 64, 64
+    ref, model, merged, bcfg = _build_pair(ref_net, backbone, 1, 2, B, H, W)
+    supp_img, fore, *_ = _episode(B, H, W)
+
+    x = torch.from_numpy(supp_img)[:, None]
+    with torch.no_grad():
+        if backbone == "vgg":
+            d4_t = ref.encoder(x.expand(-1, 3, -1, -1)).numpy()
+            d4_t = np.transpose(d4_t, (0, 2, 3, 1))
+        else:
+            d4_t = _nhwc(ref.encoder(x, None)["d4"])
+
+    def enc(m, imgs, mask):
+        return m._encode(imgs, mask, False)
+
+    d4_j = np.asarray(model.apply(
+        merged, jnp.asarray(supp_img)[..., None], jnp.asarray(fore), method=enc))
+    assert d4_j.shape == d4_t.shape
+    np.testing.assert_allclose(d4_j, d4_t, atol=2e-4,
+                               err_msg=f"{backbone} encoder drift")
+
+
+def test_golden_cre_output(ref_net):
+    """CRE (w_k/w_q + correlation + fused 1×1) vs the reference CRE on the
+    SAME input features — isolates the relation encoder."""
+    B, H, W, radius = 2, 64, 64, 2
+    ref, model, merged, bcfg = _build_pair(ref_net, "UNet", 1, radius, B, H, W)
+    supp_img, fore, *_ = _episode(B, H, W)
+
+    x = torch.from_numpy(supp_img)[:, None]
+    with torch.no_grad():
+        d4 = ref.encoder(x, None)["d4"]
+        m = torch.nn.functional.avg_pool2d(
+            torch.from_numpy(fore)[:, None], bcfg["scale"])
+        cre_t = _nhwc(ref.cre(d4 * m, d4 * (1 - m)))
+
+    def cre(mdl, a, b):
+        return mdl.cre(a, b, False)
+
+    d4_j = jnp.asarray(_nhwc(d4))
+    m_j = jnp.asarray(np.transpose(m.numpy(), (0, 2, 3, 1)))
+    cre_j = np.asarray(model.apply(merged, d4_j * m_j, d4_j * (1 - m_j),
+                                   method=cre))
+    assert cre_j.shape == cre_t.shape
+    np.testing.assert_allclose(cre_j, cre_t, atol=5e-4, err_msg="CRE drift")
+
+
+def test_golden_full_forward_unet(ref_net):
+    """END-TO-END: per-iteration refinement logits, final output, and Dice
+    must match the reference forward (net/rp_net.py:226-350) bit-closely."""
+    B, H, W, n_iter, radius = 2, 64, 64, 3, 2
+    ref, model, merged, bcfg = _build_pair(ref_net, "UNet", n_iter, radius, B, H, W)
+    supp_img, fore, qry_img, qry_lab, appr = _episode(B, H, W)
+    back = 1.0 - fore
+
+    s_t = torch.from_numpy(supp_img)[:, None]
+    q_t = torch.from_numpy(qry_img)[:, None]
+    with torch.no_grad():
+        out_t = ref([[s_t]], [[torch.from_numpy(fore)]],
+                    [[torch.from_numpy(back)]], [q_t],
+                    appr_query_labels=torch.from_numpy(appr))
+
+    out_j = model.apply(
+        merged,
+        jnp.asarray(supp_img)[None, None, ..., None],
+        jnp.asarray(fore)[None, None], jnp.asarray(back)[None, None],
+        jnp.asarray(qry_img)[..., None], jnp.asarray(appr), train=False)
+
+    # per-iteration refinement logits (threshold feedback included: any
+    # drifted mask pixel would compound across iterations and blow past atol)
+    for i in range(n_iter):
+        ref_t = _nhwc(out_t["refinement"][i])          # (B, H, W, 2)
+        ref_j = np.asarray(out_j["refinement"][i])
+        np.testing.assert_allclose(ref_j, ref_t, atol=2e-3,
+                                   err_msg=f"refinement iter {i} drift")
+
+    final_t = _nhwc(out_t["output"])
+    final_j = np.asarray(out_j["output"])
+    np.testing.assert_allclose(final_j, final_t, atol=2e-3,
+                               err_msg="final output drift")
+
+    # end-to-end Dice of the thresholded prediction
+    def dice(pred, gt):
+        p = pred > 0.5
+        g = gt > 0.5
+        return 2.0 * (p & g).sum() / max(p.sum() + g.sum(), 1)
+
+    pred_t = torch.softmax(out_t["output"], dim=1)[:, 1].numpy()
+    pred_j = np.asarray(jax.nn.softmax(out_j["output"], axis=-1)[..., 1])
+    # the comparison must not be vacuous: the (random-weight) reference net
+    # still predicts a non-trivial foreground region on this episode
+    fg_frac = np.mean(pred_t > 0.5)
+    assert 0.005 < fg_frac < 0.995, f"degenerate prediction ({fg_frac})"
+    assert abs(dice(pred_j, qry_lab) - dice(pred_t, qry_lab)) < 1e-3
+    # and the binary masks agree almost everywhere
+    agree = np.mean((pred_j > 0.5) == (pred_t > 0.5))
+    assert agree > 0.999, f"mask agreement {agree}"
+
+
+def test_golden_forward_5shot_multiway_reduction(ref_net):
+    """The rebuild's multi-shot CRE generalization must REDUCE to the
+    reference exactly at 1-way/1-shot (the only case the reference runs —
+    it crashes for n_shot>1, net/rp_net.py:275)."""
+    B, H, W = 1, 32, 32
+    ref, model, merged, _ = _build_pair(ref_net, "UNet", 2, 1, B, H, W)
+    supp_img, fore, qry_img, _, appr = _episode(B, H, W, seed=3)
+    back = 1.0 - fore
+
+    with torch.no_grad():
+        out_t = ref([[torch.from_numpy(supp_img)[:, None]]],
+                    [[torch.from_numpy(fore)]], [[torch.from_numpy(back)]],
+                    [torch.from_numpy(qry_img)[:, None]],
+                    appr_query_labels=torch.from_numpy(appr))
+    out_j = model.apply(
+        merged, jnp.asarray(supp_img)[None, None, ..., None],
+        jnp.asarray(fore)[None, None], jnp.asarray(back)[None, None],
+        jnp.asarray(qry_img)[..., None], jnp.asarray(appr), train=False)
+    np.testing.assert_allclose(np.asarray(out_j["output"]),
+                               _nhwc(out_t["output"]), atol=2e-3)
