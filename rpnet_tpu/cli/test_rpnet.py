@@ -86,39 +86,105 @@ def build_model_and_runner(config: Config, seed: int = 0):
 
 
 def evaluate(runner: EpisodeRunner, sampler: EpisodeSampler, config: Config):
-    """One eval pass (reference eval(), test_rpnet.py:151-258)."""
+    """One eval pass (reference eval(), test_rpnet.py:151-258).
+
+    Fault isolation (SURVEY §5): each episode runs under try/except — one
+    corrupt volume or NaN blowup logs and continues instead of killing the
+    n_runs eval; failures are counted and surfaced in the results JSON.
+
+    Multi-host: with ``jax.process_count() > 1`` each process evaluates a
+    strided shard of the episode list and per-class Dice merges globally via
+    ``multihost_utils.process_allgather`` (every process prints/aggregates
+    identical numbers). Support draws then differ from the single-process
+    stream (each process consumes its own seeded RNG) but stay deterministic.
+    """
+    import traceback
+
     from rpnet_tpu.utils.profiling import StageTimer
 
     eval_classes = config["eval_classes"]
-    dsc_affine_list = defaultdict(list)
-    dsc_fewshot_list = defaultdict(list)
-    dsc_refinement_list = defaultdict(lambda: defaultdict(list))
+    n_cls = len(eval_classes)
+    n_eps = len(sampler)
+    T = int(config["n_iter_refinement"])
     timer = StageTimer()
 
-    if config.get("num_workers", 0):
+    pcount = jax.process_count()
+    pidx = jax.process_index()
+    my_idxs = list(range(pidx, n_eps, pcount)) if pcount > 1 else list(range(n_eps))
+
+    if config.get("num_workers", 0) and pcount == 1:
         from rpnet_tpu.episode.prefetch import PrefetchingSampler
         iterator = iter(PrefetchingSampler(
             sampler, lookahead=2, workers=int(config["num_workers"])))
     else:
-        iterator = (sampler.sample(j) for j in range(len(sampler)))
+        iterator = (sampler.sample(j) for j in my_idxs)
 
-    for j in range(len(sampler)):
-        with timer.stage("data"):
-            ep = next(iterator)
-        with timer.stage("episode_compute"):
-            res = runner.run(ep)
+    # per-episode record arrays (NaN = not mine / failed / empty-GT) so the
+    # multi-host merge is a plain elementwise combine
+    rec_cls = np.full(n_eps, -1, np.int32)
+    rec_aff = np.full(n_eps, np.nan, np.float64)
+    rec_few = np.full(n_eps, np.nan, np.float64)
+    rec_ref = np.full((n_eps, T), np.nan, np.float64)
+    failures = 0
+
+    for j in my_idxs:
+        try:
+            with timer.stage("data"):
+                ep = next(iterator)
+            with timer.stage("episode_compute"):
+                res = runner.run(ep)
+        except Exception:
+            failures += 1
+            print(f"{j} EPISODE FAILED — skipping:\n{traceback.format_exc()}")
+            continue
         cls = eval_classes[ep.class_id]
         supp_pid = sampler.data_info[ep.supp_pids[0][0]][ep.supp_pids[0][1]]["pid"]
 
         print(f"{j} {ep.pid} {supp_pid} affine ({res['ncc_warped']:.4f}, "
               f"{res['ncc_raw']:.4f}) {res['dsc_affine']}, "
               f"fewshot {res['dsc_fewshot']}", end=" ")
-        dsc_affine_list[cls].append(res["dsc_affine"])
-        dsc_fewshot_list[cls].append(res["dsc_fewshot"])
+        rec_cls[j] = ep.class_id
+        if res["dsc_affine"] is not None:
+            rec_aff[j] = res["dsc_affine"]
+        if res["dsc_fewshot"] is not None:
+            rec_few[j] = res["dsc_fewshot"]
         for it, v in res["dsc_refinement"].items():
-            dsc_refinement_list[cls][it].append(v)
+            if v is not None:
+                rec_ref[j, int(it)] = v
             print(f"ref {it} {v}, ", end=" ")
         print()
+
+    if pcount > 1:
+        from jax.experimental import multihost_utils
+
+        def merge(a):
+            g = np.asarray(multihost_utils.process_allgather(a))  # (P, ...)
+            if a.dtype == np.int32:
+                return g.max(axis=0)          # -1 everywhere except the owner
+            with np.errstate(all="ignore"):
+                out = np.nanmax(g, axis=0)    # exactly one non-NaN per slot
+            return out
+        rec_cls, rec_aff, rec_few, rec_ref = map(
+            merge, (rec_cls, rec_aff, rec_few, rec_ref))
+        failures = int(np.sum(np.asarray(
+            multihost_utils.process_allgather(np.asarray(failures)))))
+
+    # rebuild the per-class lists (reference None-for-empty-GT convention:
+    # NaN entries are skipped by the aggregation, same as None)
+    dsc_affine_list = defaultdict(list)
+    dsc_fewshot_list = defaultdict(list)
+    dsc_refinement_list = defaultdict(lambda: defaultdict(list))
+    for j in range(n_eps):
+        if rec_cls[j] < 0:
+            continue
+        cls = eval_classes[rec_cls[j]]
+        dsc_affine_list[cls].append(
+            None if np.isnan(rec_aff[j]) else float(rec_aff[j]))
+        dsc_fewshot_list[cls].append(
+            None if np.isnan(rec_few[j]) else float(rec_few[j]))
+        for it in range(T):
+            dsc_refinement_list[cls][it].append(
+                None if np.isnan(rec_ref[j, it]) else float(rec_ref[j, it]))
 
     for cls in eval_classes:
         aff = [d for d in dsc_affine_list[cls] if d is not None]
@@ -129,8 +195,10 @@ def evaluate(runner: EpisodeRunner, sampler: EpisodeSampler, config: Config):
             vals = [v for v in l if v is not None]
             print(f"ref {it} {np.average(vals) if vals else float('nan')}, ", end=" ")
         print()
+    if failures:
+        print(f"[{failures} episode(s) failed this pass]")
     print(timer.report())
-    return dsc_affine_list, dsc_fewshot_list, dsc_refinement_list
+    return dsc_affine_list, dsc_fewshot_list, dsc_refinement_list, failures
 
 
 def main(argv=None):
@@ -145,6 +213,9 @@ def main(argv=None):
     config = Config(raw_cfg)
     # eval uses the test-time refinement depth (test_rpnet.py:51)
     config = config.replace(n_iter_refinement=config["n_test_iter_refinement"])
+
+    from rpnet_tpu.parallel.mesh import maybe_initialize_distributed
+    maybe_initialize_distributed(config)
 
     seed = int(config.get("seed", 0))
     np.random.seed(seed)
@@ -180,10 +251,12 @@ def main(argv=None):
     total_episodes = 0
     total_slices = 0
 
+    total_failures = 0
     for i in range(n_runs):
         print(f"{i + 1} / {n_runs}")
-        a, f, r = evaluate(runner, sampler, config)
+        a, f, r, failures = evaluate(runner, sampler, config)
         total_episodes += len(sampler)
+        total_failures += failures
         for k in eval_classes:
             dsc_affine[k].append([d for d in a[k]])
             dsc_fewshot[k].append([d for d in f[k]])
@@ -193,6 +266,7 @@ def main(argv=None):
     wall = time.time() - t0
     results: Dict[str, Dict] = {"classes": {}, "wall_time_sec": wall,
                                 "episodes": total_episodes,
+                                "failed_episodes": total_failures,
                                 "episodes_per_sec": total_episodes / max(wall, 1e-9)}
 
     def _nanmean_std(rows):

@@ -56,6 +56,10 @@ def main(argv=None):
 
     raw_cfg, _ = load_yaml(args.yaml)
     config = Config(raw_cfg)
+
+    from rpnet_tpu.parallel.mesh import maybe_initialize_distributed
+    maybe_initialize_distributed(config)
+
     seed = int(config.get("seed", 0))
     np.random.seed(seed)
     random.seed(seed)

@@ -75,7 +75,16 @@ _DEFAULTS: Dict[str, Any] = {
     "soft_mask": False,
     "mask_refinement_correlation_radius": 5,
     # --- registration (few_shot_reader.py:556-557, example.yml:99-101) ---
+    # False skips registration: raw support feeds the net and the raw support
+    # label becomes the prior (the reference reader CRASHES in this mode —
+    # FewshotRegReader indexes the None affine_reg_pred,
+    # few_shot_reader.py:556-565 → :605-608; this is the sensible lift)
     "use_registration_loss": True,
+    # In the reference, the mask/reg channel concats this toggles are
+    # DISCARDED by FewshotRegReader (it reads affine_warped_supp, not the
+    # mutated support_images) — only Fewshot3DReader sees them. Accepted for
+    # YAML compatibility; the RP_Net eval path matches the reference with it
+    # on or off.
     "use_registration_mask": True,
     "do_deformable": False,
     "reg_affine_iters": 50,    # few_shot_reader.py:159 iters=[50, ...]

@@ -39,53 +39,114 @@ def keep_only_annotation_region(img, mask, margin: int = 20):
     return img[(slice(None),) + sel], mask[(slice(None),) + sel]
 
 
+def _affine_from_triangle(src_pts, dst_pts):
+    """Solve the 2×3 affine M with M @ [x, y, 1]ᵀ = dst for 3 point pairs
+    (what cv2.getAffineTransform computes)."""
+    A = np.concatenate([src_pts, np.ones((3, 1), np.float64)], axis=1)
+    return np.linalg.solve(A, dst_pts).T.astype(np.float64)     # (2, 3)
+
+
+def _invert_affine(M):
+    A = np.eye(3, dtype=np.float64)
+    A[:2] = M
+    return np.linalg.inv(A)[:2]
+
+
+def _bilinear_stack(stack, ys, xs, cval, hard_boundary=False):
+    """Bilinear-sample a (Z, H, W) stack at float coords (H, W), constant
+    border. Vectorized over z — every slice shares the sampling grid.
+
+    hard_boundary=False blends border taps with cval (cv2 BORDER_CONSTANT
+    semantics); True sets any coordinate outside [0, n-1] to cval outright
+    (scipy map_coordinates mode='constant' semantics).
+    """
+    Z, H, W = stack.shape
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    fy = (ys - y0).astype(stack.dtype)
+    fx = (xs - x0).astype(stack.dtype)
+
+    def tap(yi, xi):
+        inside = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+        v = stack[:, np.clip(yi, 0, H - 1), np.clip(xi, 0, W - 1)]
+        return np.where(inside, v, cval)
+
+    out = ((1 - fy) * (1 - fx) * tap(y0, x0) + (1 - fy) * fx * tap(y0, x0 + 1)
+           + fy * (1 - fx) * tap(y0 + 1, x0) + fy * fx * tap(y0 + 1, x0 + 1))
+    if hard_boundary:
+        ok = (ys >= 0) & (ys <= H - 1) & (xs >= 0) & (xs <= W - 1)
+        out = np.where(ok, out, cval)
+    return out
+
+
+def _nearest_stack(stack, ys, xs, cval, hard_boundary=False):
+    """Nearest-neighbor sample of a (Z, H, W) stack (round-half-up, the
+    scipy order-0 convention). hard_boundary as in :func:`_bilinear_stack`."""
+    Z, H, W = stack.shape
+    yi = np.floor(ys + 0.5).astype(np.int64)
+    xi = np.floor(xs + 0.5).astype(np.int64)
+    inside = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+    if hard_boundary:
+        inside = (ys >= 0) & (ys <= H - 1) & (xs >= 0) & (xs <= W - 1)
+    v = stack[:, np.clip(yi, 0, H - 1), np.clip(xi, 0, W - 1)]
+    return np.where(inside, v, cval)
+
+
 def elastic_transform(image, mask, alpha=1000, sigma=30, alpha_affine=0.04,
                       padding_value=-1.0, random_state=None):
-    """Simard-style elastic deformation (brain_reader.py:248-294): random
-    small affine (cv2.warpAffine) + Gaussian-smoothed random displacement
-    (map_coordinates), applied slice-wise over z; masks nearest-neighbor."""
-    import cv2
-    from scipy.ndimage import gaussian_filter, map_coordinates
+    """Simard-style elastic deformation (semantics of brain_reader.py:248-294,
+    which ports the public gist erniejunior/601cdf56d2b424757de5): a random
+    small affine followed by a Gaussian-smoothed random displacement field,
+    shared across z; masks sample nearest-neighbor, images bilinear.
+
+    Own implementation: the affine is solved/inverted in closed form and both
+    warp stages are numpy samplers vectorized over the whole (z, class)
+    stack — no cv2, no per-slice Python loop. RNG draw order matches the
+    original (affine jitter, then dx, then dy) so seeded augmentation streams
+    are preserved.
+    """
+    from scipy.ndimage import gaussian_filter
 
     if random_state is None:
         random_state = np.random.RandomState(None)
 
-    shape_size = image.shape[2:]
+    H, W = image.shape[2:]
     num_class, z = mask.shape[0], mask.shape[1]
 
-    center_square = np.float32(shape_size) // 2
-    square_size = min(shape_size) // 3
-    pts1 = np.float32([center_square + square_size,
-                       [center_square[0] + square_size,
-                        center_square[1] - square_size],
-                       center_square - square_size])
-    pts2 = pts1 + random_state.uniform(-alpha_affine, alpha_affine,
-                                       size=pts1.shape).astype(np.float32)
-    M = cv2.getAffineTransform(pts1, pts2)
+    # random affine: jitter an equilateral-ish triangle about the center
+    center = np.float32([H, W]) // 2
+    half = min(H, W) // 3
+    tri_src = np.float64([center + half,
+                          [center[0] + half, center[1] - half],
+                          center - half])
+    tri_dst = tri_src + random_state.uniform(
+        -alpha_affine, alpha_affine, size=tri_src.shape).astype(np.float32)
+    inv = _invert_affine(_affine_from_triangle(tri_src, tri_dst))
 
-    dx = gaussian_filter(random_state.rand(*shape_size) * 2 - 1, sigma) * alpha
-    dy = gaussian_filter(random_state.rand(*shape_size) * 2 - 1, sigma) * alpha
-    xs, ys = np.meshgrid(np.arange(shape_size[1]), np.arange(shape_size[0]))
-    indices = (np.reshape(ys + dy, (-1, 1)), np.reshape(xs + dx, (-1, 1)))
+    # smoothed random displacement field, shared by every slice and class
+    dx = gaussian_filter(random_state.rand(H, W) * 2 - 1, sigma) * alpha
+    dy = gaussian_filter(random_state.rand(H, W) * 2 - 1, sigma) * alpha
+    xs, ys = np.meshgrid(np.arange(W), np.arange(H))
 
-    new_img = np.zeros_like(image)
-    new_mask = np.zeros_like(mask)
-    for i in range(z):
-        warped = cv2.warpAffine(image[0, i], M, shape_size[::-1],
-                                borderMode=cv2.BORDER_CONSTANT,
-                                borderValue=padding_value)
-        new_img[0, i] = map_coordinates(warped, indices, order=1,
-                                        mode="constant",
-                                        cval=padding_value).reshape(shape_size)
-        for j in range(num_class):
-            if np.any(mask[j, i]):
-                wm = cv2.warpAffine(mask[j, i], M, shape_size[::-1],
-                                    flags=cv2.INTER_NEAREST,
-                                    borderMode=cv2.BORDER_TRANSPARENT,
-                                    borderValue=0)
-                new_mask[j, i] = map_coordinates(wm, indices, order=0,
-                                                 mode="constant").reshape(shape_size)
-    return new_img, new_mask
+    # stage 1 coords: output pixel → affine source position
+    ax = inv[0, 0] * xs + inv[0, 1] * ys + inv[0, 2]
+    ay = inv[1, 0] * xs + inv[1, 1] * ys + inv[1, 2]
+    # stage 2 coords: displacement resample of the affine-warped result
+    ex, ey = xs + dx, ys + dy
+
+    # stage 1 blends the border (cv2 semantics); stage 2 cuts hard at the
+    # extent (scipy map_coordinates mode='constant' semantics) — matching
+    # the reference's two-library pipeline
+    img_stack = image.reshape(-1, H, W)
+    warped = _bilinear_stack(img_stack, ay, ax, padding_value)
+    new_img = _bilinear_stack(warped, ey, ex, padding_value, hard_boundary=True)
+
+    mask_stack = mask.reshape(-1, H, W)
+    wm = _nearest_stack(mask_stack, ay, ax, 0)
+    new_mask = _nearest_stack(wm, ey, ex, 0, hard_boundary=True)
+
+    return (new_img.reshape(image.shape).astype(image.dtype),
+            new_mask.reshape(mask.shape).astype(mask.dtype))
 
 
 def elastic_transform_all(image, mask, alpha=1000, sigma=30, alpha_affine=0.04,

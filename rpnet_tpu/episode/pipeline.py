@@ -30,7 +30,8 @@ from rpnet_tpu.registration.fit import register_episode
 def episode_metrics_fn(model, affine_iters: int, demons_iters: int,
                        fit_scale: int = 1, sampler: str = "matmul",
                        multishot: bool = False,
-                       compute_dtype=jnp.float32):
+                       compute_dtype=jnp.float32,
+                       use_registration: bool = True):
     """Build the pure episode function for `model` (un-jitted).
 
     ``multishot=False`` (default) reproduces the reference: only shot 0 is
@@ -50,7 +51,19 @@ def episode_metrics_fn(model, affine_iters: int, demons_iters: int,
     def fn(variables, supp_img, supp_lab, qry_img, qry_lab, slice_mask):
         """supp_img/supp_lab: (Sh, Dq, H, W); qry_*: (Dq, H, W); mask: (Dq,)."""
         Sh = supp_img.shape[0]
-        if multishot and Sh > 1:
+        if not use_registration:
+            # use_registration_loss: False — skip registration entirely; raw
+            # support image/label feed the network and the prior is the raw
+            # support label. NOTE: the reference CRASHES here —
+            # FewshotRegReader indexes affine_reg_pred[:, 0] which the
+            # use_registration_loss=False branch sets to None
+            # (few_shot_reader.py:556-565 → :605-608); this is the sensible
+            # lift of those semantics.
+            appr = supp_lab[0]
+            supp_t = supp_img[0][None, None, ..., None]
+            fore_t = supp_lab[0][None, None]
+            reg_warped_src = supp_img[0]
+        elif multishot and Sh > 1:
             regs = jax.vmap(lambda s, l: register_episode(
                 s, qry_img, l, affine_iters=affine_iters,
                 demons_iters=demons_iters, fit_scale=fit_scale,
@@ -130,6 +143,7 @@ class EpisodeRunner:
         fit_scale = int(config.get("reg_fit_scale", 1))
         sampler = str(config.get("reg_sampler", "matmul"))
         multishot = bool(config.get("multishot_fusion", False))
+        use_registration = bool(config.get("use_registration_loss", True))
         compute_dtype = jnp.dtype(config.get("compute_dtype", "float32"))
         if compute_dtype != jnp.float32:
             # cast params once; BN stats/scales in bf16 are standard inference
@@ -139,7 +153,8 @@ class EpisodeRunner:
                 if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
                 variables)
         fn = episode_metrics_fn(model, affine_iters, demons_iters, fit_scale,
-                                sampler, multishot, compute_dtype)
+                                sampler, multishot, compute_dtype,
+                                use_registration=use_registration)
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P

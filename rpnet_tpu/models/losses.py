@@ -104,49 +104,75 @@ def dice_loss_bootstrap(pred, target):
     return dice + neg
 
 
-def ghm_c_loss(pred, target, label_weight, bins: int = 10, loss_weight: float = 1.0):
-    """Gradient-harmonized BCE (GHMC, net/unet.py:39-111; momentum=0 path).
+def _ghm_bin_weights(g, valid, bins, dtype, momentum, acc_sum):
+    """Shared GHM binning: gradient-length histogram → per-element weights.
+
+    momentum>0 keeps an EMA of bin counts (net/unet.py:99-104): bins seen
+    this step update ``acc = mmt*acc + (1-mmt)*count`` and weight by the
+    UPDATED acc; unseen bins keep their old acc. Returns
+    (weights, tot, new_acc_sum).
+    """
+    tot = jnp.maximum(jnp.sum(valid), 1.0)
+    edges = jnp.arange(bins + 1, dtype=dtype) / bins
+    edges = edges.at[-1].add(1e-6)
+    idx = jnp.clip(jnp.searchsorted(edges, g, side="right") - 1, 0, bins - 1)
+    counts = jnp.zeros((bins,), dtype).at[idx].add(valid.astype(dtype))
+    n_valid_bins = jnp.sum(counts > 0)
+    if momentum > 0:
+        if acc_sum is None:
+            acc_sum = jnp.zeros((bins,), dtype)
+        new_acc = jnp.where(counts > 0,
+                            momentum * acc_sum + (1 - momentum) * counts,
+                            acc_sum)
+        w_per_bin = jnp.where(counts > 0, tot / jnp.maximum(new_acc, 1e-12), 0.0)
+    else:
+        new_acc = acc_sum
+        w_per_bin = jnp.where(counts > 0, tot / jnp.maximum(counts, 1.0), 0.0)
+    weights = w_per_bin[idx] * valid / jnp.maximum(n_valid_bins, 1)
+    return weights, tot, new_acc
+
+
+def ghm_c_loss(pred, target, label_weight, bins: int = 10,
+               loss_weight: float = 1.0, momentum: float = 0.0,
+               acc_sum=None):
+    """Gradient-harmonized BCE (GHMC, net/unet.py:39-111).
 
     pred/target/label_weight: broadcastable arrays (logits, binary target,
     validity). The per-bin Python loop becomes a vectorized histogram.
+    With momentum>0 the EMA bin counts are CARRIED state (the reference
+    mutates self.acc_sum): returns (loss, new_acc_sum) instead of loss —
+    thread new_acc_sum into the next call.
     """
     pred = pred.reshape(-1)
     target = target.reshape(-1).astype(pred.dtype)
     valid = (label_weight.reshape(-1) > 0)
     g = jnp.abs(jax.nn.sigmoid(pred) - target)
-    tot = jnp.maximum(jnp.sum(valid), 1.0)
-
-    edges = jnp.arange(bins + 1, dtype=pred.dtype) / bins
-    edges = edges.at[-1].add(1e-6)
-    idx = jnp.clip(jnp.searchsorted(edges, g, side="right") - 1, 0, bins - 1)
-    counts = jnp.zeros((bins,), pred.dtype).at[idx].add(valid.astype(pred.dtype))
-    n_valid_bins = jnp.sum(counts > 0)
-    w_per_bin = jnp.where(counts > 0, tot / jnp.maximum(counts, 1.0), 0.0)
-    weights = w_per_bin[idx] * valid / jnp.maximum(n_valid_bins, 1)
+    weights, tot, new_acc = _ghm_bin_weights(g, valid, bins, pred.dtype,
+                                             momentum, acc_sum)
 
     bce = jnp.maximum(pred, 0) - pred * target + jnp.log1p(jnp.exp(-jnp.abs(pred)))
-    return jnp.sum(bce * weights) / tot * loss_weight
+    loss = jnp.sum(bce * weights) / tot * loss_weight
+    return (loss, new_acc) if momentum > 0 else loss
 
 
-def ghm_dice_loss(pred, target, label_weight, bins: int = 10, loss_weight: float = 1.0):
-    """Gradient-harmonized dice (GHMDice, net/unet.py:114-188; momentum=0)."""
+def ghm_dice_loss(pred, target, label_weight, bins: int = 10,
+                  loss_weight: float = 1.0, momentum: float = 0.0,
+                  acc_sum=None):
+    """Gradient-harmonized dice (GHMDice, net/unet.py:114-188).
+
+    momentum>0 carries EMA bin counts like :func:`ghm_c_loss` (returns
+    (loss, new_acc_sum))."""
     pred = pred.reshape(-1)
     target = target.reshape(-1).astype(pred.dtype)
     valid = (label_weight.reshape(-1) > 0)
     I = jnp.sum(pred * target)
     S = jnp.sum(pred) + jnp.sum(target)
     g = jnp.abs(2 * I / S * jax.lax.stop_gradient(pred) - target)
-    tot = jnp.maximum(jnp.sum(valid), 1.0)
+    weights, tot, new_acc = _ghm_bin_weights(g, valid, bins, pred.dtype,
+                                             momentum, acc_sum)
 
-    edges = jnp.arange(bins + 1, dtype=pred.dtype) / bins
-    edges = edges.at[-1].add(1e-6)
-    idx = jnp.clip(jnp.searchsorted(edges, g, side="right") - 1, 0, bins - 1)
-    counts = jnp.zeros((bins,), pred.dtype).at[idx].add(valid.astype(pred.dtype))
-    n_valid_bins = jnp.sum(counts > 0)
-    w_per_bin = jnp.where(counts > 0, tot / jnp.maximum(counts, 1.0), 0.0)
-    weights = w_per_bin[idx] * valid / jnp.maximum(n_valid_bins, 1)
-
-    return (1.0 - jnp.sum(2 * pred * target * weights) / S) * loss_weight
+    loss = (1.0 - jnp.sum(2 * pred * target * weights) / S) * loss_weight
+    return (loss, new_acc) if momentum > 0 else loss
 
 
 # the reference's topk_dice_loss (net/unet.py:252-285) is a verbatim duplicate

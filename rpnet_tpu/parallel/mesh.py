@@ -27,6 +27,41 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_initialize_distributed(config=None) -> bool:
+    """Initialize JAX's multi-host runtime when launched as one process of a
+    pod (SURVEY §5 comm backend). Triggered by ``multihost: true`` in the
+    YAML or a ``JAX_COORDINATOR_ADDRESS`` env var; both are no-ops when the
+    runtime is already initialized or the process runs alone.
+
+    On TPU pods ``jax.distributed.initialize()`` auto-discovers coordinator/
+    process_id from the environment; elsewhere pass ``coordinator_address``/
+    ``num_processes``/``process_id`` YAML keys. Returns True if initialized.
+    """
+    import os
+
+    want = bool((config or {}).get("multihost")) if config is not None else False
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not (want or addr):
+        return False
+    if jax.process_count() > 1:
+        return True   # already up
+    kwargs = {}
+    if config is not None:
+        for yaml_key, kw in (("coordinator_address", "coordinator_address"),
+                             ("num_processes", "num_processes"),
+                             ("process_id", "process_id")):
+            if config.get(yaml_key) is not None:
+                kwargs[kw] = config[yaml_key]
+    if addr and "coordinator_address" not in kwargs:
+        kwargs["coordinator_address"] = addr
+    try:
+        jax.distributed.initialize(**kwargs)
+        return True
+    except Exception as e:    # single-process launch with the toggle set
+        print(f"[multihost init skipped: {e}]")
+        return False
+
+
 def make_mesh(shape: Optional[Dict[str, int]] = None, devices=None) -> Mesh:
     """Build a mesh. Default: all devices on the ``data`` axis."""
     devices = devices if devices is not None else jax.devices()

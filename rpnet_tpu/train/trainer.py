@@ -83,17 +83,25 @@ def make_train_step(model, config, optimizer) -> Callable:
     demons_iters = (int(config.get("reg_demons_iters", 50))
                     if config.get("do_deformable", False) else 0)
     align_scaler = float(config.get("align_loss_scaler", 1.0))
+    use_registration = bool(config.get("use_registration_loss", True))
     loss_name = config.get("loss", "dice_ce")
     seg_loss = LOSS_REGISTRY.get(loss_name, dice_ce)
 
     def episode_loss(params, batch_stats, supp_img, supp_lab, qry_img, qry_lab):
-        # stage 1: registration prior (no gradient; lax.stop_gradient fence)
-        reg = register_episode(supp_img[0], qry_img, supp_lab[0],
-                               affine_iters=affine_iters,
-                               demons_iters=demons_iters)
-        appr = jax.lax.stop_gradient(reg.warped_label)
-        supp_in = jax.lax.stop_gradient(reg.affine_src)
-        fore = jax.lax.stop_gradient(reg.affine_label)
+        if not use_registration:
+            # use_registration_loss: False — raw (unwarped) support feeds the
+            # network; the prior is the raw support label (the reference's
+            # reader would skip get_registration_field here,
+            # few_shot_reader.py:555-565)
+            appr, supp_in, fore = supp_lab[0], supp_img[0], supp_lab[0]
+        else:
+            # stage 1: registration prior (no gradient; stop_gradient fence)
+            reg = register_episode(supp_img[0], qry_img, supp_lab[0],
+                                   affine_iters=affine_iters,
+                                   demons_iters=demons_iters)
+            appr = jax.lax.stop_gradient(reg.warped_label)
+            supp_in = jax.lax.stop_gradient(reg.affine_src)
+            fore = jax.lax.stop_gradient(reg.affine_label)
 
         supp_t = supp_in[None, None, ..., None]
         fore_t = fore[None, None]

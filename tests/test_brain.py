@@ -110,3 +110,60 @@ def test_brain_reader_train_and_eval(brain_dataset):
     out = r_eval[1]
     assert len(out) == 7   # adds original_img + shifts
     assert len(out[6]) == 3
+
+
+def test_elastic_transform_matches_cv2_scipy_oracle(rng):
+    """The in-house vectorized elastic transform must be value-equivalent to
+    the cv2.warpAffine + scipy.map_coordinates pipeline the reference uses
+    (brain_reader.py:248-294), on the same RNG stream. cv2's fixed-point
+    bilinear tables quantize coords to 1/32 — hence the small atol; masks
+    must agree except at a negligible fringe of rounding-boundary pixels."""
+    import cv2
+    from scipy.ndimage import gaussian_filter, map_coordinates
+
+    from rpnet_tpu.episode.brain import elastic_transform
+
+    Z, H, W = 3, 48, 40
+    img = rng.uniform(-1, 1, (1, Z, H, W)).astype(np.float32)
+    mask = np.zeros((2, Z, H, W), np.float32)
+    mask[0, :, 10:30, 8:28] = 1
+    mask[1, :, 25:44, 18:36] = 1
+    alpha, sigma, alpha_affine, pad = 300, 8, 3.0, -1.0
+
+    seed = 7
+    out_img, out_mask = elastic_transform(
+        img, mask, alpha=alpha, sigma=sigma, alpha_affine=alpha_affine,
+        padding_value=pad, random_state=np.random.RandomState(seed))
+
+    # ---- oracle: the reference's exact library pipeline, same RNG order ----
+    rs = np.random.RandomState(seed)
+    shape_size = (H, W)
+    center_square = np.float32(shape_size) // 2
+    square_size = min(shape_size) // 3
+    pts1 = np.float32([center_square + square_size,
+                       [center_square[0] + square_size,
+                        center_square[1] - square_size],
+                       center_square - square_size])
+    pts2 = pts1 + rs.uniform(-alpha_affine, alpha_affine,
+                             size=pts1.shape).astype(np.float32)
+    M = cv2.getAffineTransform(pts1, pts2)
+    dx = gaussian_filter(rs.rand(*shape_size) * 2 - 1, sigma) * alpha
+    dy = gaussian_filter(rs.rand(*shape_size) * 2 - 1, sigma) * alpha
+    xs, ys = np.meshgrid(np.arange(W), np.arange(H))
+    indices = (np.reshape(ys + dy, (-1, 1)), np.reshape(xs + dx, (-1, 1)))
+
+    for i in range(Z):
+        warped = cv2.warpAffine(img[0, i], M, shape_size[::-1],
+                                borderMode=cv2.BORDER_CONSTANT,
+                                borderValue=pad)
+        want = map_coordinates(warped, indices, order=1, mode="constant",
+                               cval=pad).reshape(shape_size)
+        np.testing.assert_allclose(out_img[0, i], want, atol=1e-4)
+        for j in range(2):
+            wm = cv2.warpAffine(mask[j, i], M, shape_size[::-1],
+                                flags=cv2.INTER_NEAREST,
+                                borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+            want_m = map_coordinates(wm, indices, order=0,
+                                     mode="constant").reshape(shape_size)
+            agree = np.mean(out_mask[j, i] == want_m)
+            assert agree > 0.995, f"mask agreement {agree} (z={i}, cls={j})"

@@ -229,3 +229,70 @@ def test_multishot_fusion(synth):
     res = runner.run(ep)
     assert res["dsc_affine"] is not None and res["dsc_affine"] > 0.5
     assert res["dsc_fewshot"] is not None
+
+
+def test_use_registration_loss_off_skips_registration(synth):
+    """use_registration_loss: False feeds RAW support to the network and the
+    prior is the raw support label (config.py documents the reference's
+    crash in this mode; this is the sensible lift). The prior Dice must
+    equal the raw support/query label Dice — no warp applied."""
+    import jax.numpy as jnp
+
+    cfg = small_config(synth, use_registration_loss=False)
+    random.seed(0)
+    s = EpisodeSampler(cfg["data_dir"], cfg["eval_set_name"], cfg, mode="eval")
+    model = model_factory["RP_Net"](cfg, num_iter=2)
+    ep = s.sample(0)
+
+    H, W = 32, 32
+    dummy = (jnp.zeros((1, 1, 1, H, W, 1)), jnp.zeros((1, 1, 1, H, W)),
+             jnp.ones((1, 1, 1, H, W)), jnp.zeros((1, H, W, 1)),
+             jnp.zeros((1, H, W)))
+    variables = model.init(jax.random.PRNGKey(0), *dummy, train=False)
+    runner = EpisodeRunner(model, variables, cfg)
+    res = runner.run(ep)
+
+    # the "appr" label is the raw support label: its Dice vs query GT equals
+    # the raw overlap, computed host-side here
+    raw = np.asarray(ep.support_labels[0], np.float32)
+    gt = np.asarray(ep.query_labels, np.float32)
+    inter = float((raw * gt).sum())
+    expect = 2 * inter / max(float(raw.sum() + gt.sum()), 1e-9)
+    assert res["dsc_affine"] == pytest.approx(expect, abs=1e-5)
+    # and ncc_warped ≡ ncc_raw (no warp happened)
+    assert res["ncc_warped"] == pytest.approx(res["ncc_raw"], abs=1e-6)
+
+
+def test_eval_fault_isolation(synth, tmp_path):
+    """One failing episode must not kill the eval pass (SURVEY §5): the run
+    completes, the failure is counted, and the results JSON reports it."""
+    import yaml as pyyaml
+
+    from rpnet_tpu.cli import test_rpnet as cli
+    from rpnet_tpu.episode.pipeline import EpisodeRunner as RealRunner
+
+    cfg = small_config(synth, n_runs=1, out_dir=str(tmp_path / "out"))
+    ypath = str(tmp_path / "cfg.yml")
+    with open(ypath, "w") as f:
+        pyyaml.safe_dump(cfg.to_dict(), f)
+
+    calls = {"n": 0}
+    real_run = RealRunner.run
+
+    def flaky_run(self, ep):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected episode failure")
+        return real_run(self, ep)
+
+    RealRunner.run = flaky_run
+    try:
+        results = cli.main(["--yaml", ypath])
+    finally:
+        RealRunner.run = real_run
+
+    assert results is not None
+    assert results["failed_episodes"] == 1
+    # the surviving episodes still aggregated
+    assert "Liver" in results["classes"]
+    assert calls["n"] == 3  # 3 eval episodes attempted

@@ -302,3 +302,43 @@ def test_golden_forward_5shot_multiway_reduction(ref_net):
         jnp.asarray(qry_img)[..., None], jnp.asarray(appr), train=False)
     np.testing.assert_allclose(np.asarray(out_j["output"]),
                                _nhwc(out_t["output"]), atol=2e-3)
+
+
+def test_golden_ghm_momentum_ema(ref_net, monkeypatch):
+    """GHM losses with momentum>0 carry EMA bin counts; values must track the
+    ACTUAL reference GHMC/GHMDice across sequential calls (net/unet.py:39-188).
+    The reference hardcodes .cuda() — patched to a no-op for CPU."""
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    import net.unet as ref_unet
+
+    from rpnet_tpu.models.losses import ghm_c_loss, ghm_dice_loss
+
+    rng = np.random.RandomState(0)
+    mmt, bins = 0.3, 10
+
+    ghmc_t = ref_unet.GHMC(bins=bins, momentum=mmt)
+    ghmd_t = ref_unet.GHMDice(bins=bins, momentum=mmt)
+    acc_c = acc_d = None
+    for step in range(4):
+        logits = rng.randn(400).astype(np.float32) * (1 + step)
+        target = (rng.rand(400) > 0.6).astype(np.float32)
+        weight = (rng.rand(400) > 0.1).astype(np.float32)  # some ignored
+
+        lt = ghmc_t(torch.from_numpy(logits), torch.from_numpy(target),
+                    torch.from_numpy(weight)).item()
+        lj, acc_c = ghm_c_loss(jnp.asarray(logits), jnp.asarray(target),
+                               jnp.asarray(weight), bins=bins,
+                               momentum=mmt, acc_sum=acc_c)
+        np.testing.assert_allclose(float(lj), lt, rtol=1e-5,
+                                   err_msg=f"GHMC step {step}")
+        np.testing.assert_allclose(np.asarray(acc_c),
+                                   ghmc_t.acc_sum.numpy(), rtol=1e-5)
+
+        probs = 1 / (1 + np.exp(-logits))
+        dt = ghmd_t(torch.from_numpy(probs), torch.from_numpy(target),
+                    torch.from_numpy(weight)).item()
+        dj, acc_d = ghm_dice_loss(jnp.asarray(probs), jnp.asarray(target),
+                                  jnp.asarray(weight), bins=bins,
+                                  momentum=mmt, acc_sum=acc_d)
+        np.testing.assert_allclose(float(dj), dt, rtol=1e-5,
+                                   err_msg=f"GHMDice step {step}")
