@@ -201,6 +201,54 @@ def evaluate(runner: EpisodeRunner, sampler: EpisodeSampler, config: Config):
     return dsc_affine_list, dsc_fewshot_list, dsc_refinement_list, failures
 
 
+def eval_lgca(config, out_dir):
+    """LGCANet_V3 whole-volume eval: per-ROI Dice over the eval split
+    (the reference's episodic eval loop cannot feed this model — its forward
+    takes the volume+slices contract, lgca_net_v3.py:593-607)."""
+    from rpnet_tpu.episode.lgca_data import LGCAVolumeSampler
+    from rpnet_tpu.models.factory import model_factory
+    from rpnet_tpu.train.lgca import evaluate_lgca_volume, init_lgca_state
+
+    sampler = LGCAVolumeSampler(config["data_dir"], config["eval_set_name"],
+                                config, mode="eval")
+    print(f"[length of LGCA eval loader {len(sampler)}]")
+    model = model_factory["LGCANet_V3"](config)
+    state = init_lgca_state(model, config, jax.random.PRNGKey(0), sampler)
+    variables = {"params": state["params"],
+                 "batch_stats": state["batch_stats"]}
+    if config.get("ckpt"):
+        from rpnet_tpu.train.checkpoint import restore_into
+        variables, _ = restore_into(variables, config["ckpt"])
+
+    rois = list(config["roi_names"])
+    per_class = defaultdict(list)
+    for j in range(len(sampler)):
+        try:
+            s = sampler.sample(j)
+            dices = evaluate_lgca_volume(model, variables, s)
+        except Exception as e:
+            print(f"{j} VOLUME FAILED — skipping: {e}")
+            continue
+        line = " ".join(f"{rois[k]} {dices[f'class_{k}']}"
+                        for k in range(len(rois)))
+        print(f"{j} {s['pid']} {line}")
+        for k in range(len(rois)):
+            if dices[f"class_{k}"] is not None:
+                per_class[rois[k]].append(dices[f"class_{k}"])
+
+    results = {"classes": {}}
+    print("=======Average performance=========")
+    for roi in rois:
+        vals = per_class[roi]
+        m = float(np.mean(vals)) if vals else float("nan")
+        s_ = float(np.std(vals)) if vals else float("nan")
+        print(f"{roi}, dice {m} + {s_}")
+        results["classes"][roi] = {"dice": [m, s_]}
+    with open(os.path.join(out_dir, "results_eval.json"), "w") as fjson:
+        json.dump(results, fjson, indent=2)
+    return results
+
+
 def main(argv=None):
     args = parser.parse_args(argv)
     if not args.yaml:
@@ -228,6 +276,9 @@ def main(argv=None):
         os.path.splitext(os.path.basename(args.yaml))[0])
     os.makedirs(os.path.join(out_dir, "model"), exist_ok=True)
     sys.stdout = Logger(os.path.join(out_dir, "log_eval"))
+
+    if config.get("net", "RP_Net") == "LGCANet_V3":
+        return eval_lgca(config, out_dir)
 
     sampler = EpisodeSampler(config["data_dir"], config["eval_set_name"],
                              config, mode="eval")

@@ -46,6 +46,60 @@ def collate_batch(episodes) -> tuple:
     return supp_img, supp_lab, qry_img, qry_lab
 
 
+def train_lgca(config, args, out_dir):
+    """LGCANet_V3 training loop (volume+slices contract, train/lgca.py) —
+    the driver the reference's model_factory entry never had."""
+    from rpnet_tpu.episode.lgca_data import LGCAVolumeSampler
+    from rpnet_tpu.models.factory import model_factory
+    from rpnet_tpu.train.lgca import init_lgca_state, make_lgca_train_step
+    from rpnet_tpu.train.trainer import make_optimizer
+
+    seed = int(config.get("seed", 0))
+    sampler = LGCAVolumeSampler(config["data_dir"], config["train_set_name"],
+                                config, mode="train")
+    print(f"[length of LGCA train loader {len(sampler)}]")
+
+    epochs = args.epochs or int(config.get("epochs", 100))
+    epoch_save = int(config.get("epoch_save", 1))
+    steps_per_epoch = args.episodes_per_epoch or len(sampler)
+
+    model = model_factory["LGCANet_V3"](config)
+    optimizer = make_optimizer(config, steps_per_epoch=steps_per_epoch)
+    state = init_lgca_state(model, config, jax.random.PRNGKey(seed), sampler,
+                            optimizer=optimizer)
+    start_epoch = 0
+    if config.get("ckpt"):
+        variables, start_epoch = restore_into(
+            {"params": state["params"], "batch_stats": state["batch_stats"]},
+            config["ckpt"])
+        state["params"] = variables["params"]
+        state["batch_stats"] = variables["batch_stats"]
+
+    step = jax.jit(make_lgca_train_step(model, config, optimizer))
+    rng = np.random.RandomState(seed)
+    model_dir = os.path.join(out_dir, "model")
+
+    for epoch in range(start_epoch, epochs):
+        t0 = time.time()
+        losses: List[float] = []
+        for j in range(steps_per_epoch):
+            s = sampler.sample(j % len(sampler), rng=rng)
+            batch = tuple(map(jnp.asarray, (s["volume"], s["slices"],
+                                            s["mask"],
+                                            s["downsampled_volume_mask"])))
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+        wall = time.time() - t0
+        print(f"epoch {epoch} loss {np.mean(losses):.4f} "
+              f"({steps_per_epoch / max(wall, 1e-9):.2f} volumes/s)")
+        if (epoch + 1) % epoch_save == 0:
+            save_checkpoint(os.path.join(model_dir, f"epoch_{epoch:03d}"),
+                            epoch, {"params": state["params"],
+                                    "batch_stats": state["batch_stats"]},
+                            state["opt_state"])
+    return state
+
+
 def main(argv=None):
     args = parser.parse_args(argv)
     if not args.yaml:
@@ -72,6 +126,9 @@ def main(argv=None):
     model_dir = os.path.join(out_dir, "model")
     os.makedirs(model_dir, exist_ok=True)
     sys.stdout = Logger(os.path.join(out_dir, "log_train"))
+
+    if config.get("net", "RP_Net") == "LGCANet_V3":
+        return train_lgca(config, args, out_dir)
 
     sampler = EpisodeSampler(config["data_dir"], config["train_set_name"],
                              config, mode="train")

@@ -41,11 +41,11 @@ class ContextCorrelationEncoder(nn.Module):
         fm2 = Norm2d(name="w_q_norm")(fm2, train)
         fm2 = nn.relu(fm2)
 
-        if self.use_pallas and not train:
-            # Pallas forward on TPU (inference). Training uses the XLA path:
-            # the trainer vmaps episodes and pallas_call's ANY-memspace DMA
-            # has no batching rule (a custom VJP exists —
-            # local_correlation_pallas_vjp — but not a custom vmap yet).
+        if self.use_pallas:
+            # Pallas kernel on TPU for BOTH inference and training: the
+            # trainable wrapper composes with the trainer's episode vmap
+            # (custom_vmap folds episodes into the kernel's batch grid axis)
+            # and with autodiff (analytic XLA backward). XLA fallback off-TPU.
             from rpnet_tpu.ops.pallas.correlation import local_correlation_auto
             corr = local_correlation_auto(fm1, fm2, self.radius)
         else:

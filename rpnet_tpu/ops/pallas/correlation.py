@@ -227,6 +227,56 @@ def _corr_bwd(r, res, g):
 local_correlation_pallas_vjp.defvjp(_corr_fwd, _corr_bwd)
 
 
+# ------------------------------------------------- trainable + vmappable
+
+@functools.lru_cache(maxsize=None)
+def pallas_correlation_trainable(r: int, interpret: bool = False):
+    """The Pallas correlation as a function that composes with BOTH vmap and
+    reverse-mode autodiff — what the trainer needs (it vmaps episodes and
+    differentiates, net/rp_net.py:283's CRE call under the batch loop).
+
+    Structure matters: custom_vjp OUTSIDE, custom_vmap INSIDE the forward.
+      * vmap(f): custom_vjp batches by vmapping its fwd; the fwd's
+        custom_vmap rule FOLDS the episode axis into the kernel's batch grid
+        axis (one kernel launch, no per-episode dispatch) — recursing through
+        itself so arbitrarily nested vmaps keep folding;
+      * grad(f): custom_vjp never linearizes the fwd (custom_vmap has no
+        transpose rule — wrapping the other way fails), and the backward is
+        the analytic shifted-products XLA formulation (_corr_bwd).
+    Verified bit-exact vs the XLA formulation under jit(grad(vmap(·))).
+    """
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def fwd_fn(fm1, fm2):
+        return local_correlation_pallas(fm1, fm2, r, interpret=interpret)
+
+    @fwd_fn.def_vmap
+    def _rule(axis_size, in_batched, fm1, fm2):  # noqa: ANN001
+        b1, b2 = in_batched
+        if not b1:
+            fm1 = jnp.broadcast_to(fm1[None], (axis_size,) + fm1.shape)
+        if not b2:
+            fm2 = jnp.broadcast_to(fm2[None], (axis_size,) + fm2.shape)
+        E, B = fm1.shape[:2]
+        out = fwd_fn(fm1.reshape((E * B,) + fm1.shape[2:]),
+                     fm2.reshape((E * B,) + fm2.shape[2:]))
+        return out.reshape((E, B) + out.shape[1:]), True
+
+    @jax.custom_vjp
+    def f(fm1, fm2):
+        return fwd_fn(fm1, fm2)
+
+    def f_fwd(fm1, fm2):
+        return fwd_fn(fm1, fm2), (fm1, fm2)
+
+    def f_bwd(res, g):
+        return _corr_bwd(r, res, g)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
 def local_correlation_auto(fm1, fm2, r: int):
     """Dispatch to the best implementation.
 
@@ -250,8 +300,8 @@ def local_correlation_auto(fm1, fm2, r: int):
     if impl is None:
         impl = "pallas" if on_tpu else "xla"
     if impl == "pallas" and on_tpu:
-        # the custom-VJP wrapper makes the kernel differentiable (training)
-        return local_correlation_pallas_vjp(fm1, fm2, r)
+        # differentiable AND vmappable (training vmaps episodes)
+        return pallas_correlation_trainable(r)(fm1, fm2)
     if impl == "mxu":
         from rpnet_tpu.ops.correlation import local_correlation_mxu
         return local_correlation_mxu(fm1, fm2, r)

@@ -1,0 +1,100 @@
+"""LGCANet_V3 training/eval driver — makes `net: LGCANet_V3` actually
+runnable (the reference registers it in model_factory, net/model.py:4-7, but
+test_rpnet.py's episodic loop feeds the RP_Net signature and no reader
+produces the LGCA contract; here the model gets its own step + eval built on
+episode/lgca_data.py).
+
+One jitted train step: 3D context net over the downsampled volume + 2D
+fused U-Net over a slice batch, per-class 2D+3D dice loss
+(lgca_net_v3.py:629-649), Adam update.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from rpnet_tpu.models.lgca import LGCANetV3
+
+
+def make_lgca_train_step(model: LGCANetV3, config, optimizer):
+    def loss_fn(params, batch_stats, volume, slices, mask, vmask):
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            volume, slices, train=True, mutable=["batch_stats"])
+        losses = LGCANetV3.loss(out, {"mask": mask,
+                                      "downsampled_volume_mask": vmask})
+        loss = jnp.mean(losses["loss_dice"])
+        metrics = {"unet_dice": jnp.mean(losses["unet_dice"])}
+        return loss, (metrics, mutated["batch_stats"])
+
+    def train_step(state: Dict, batch: Tuple):
+        volume, slices, mask, vmask = batch
+        (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state["params"], state["batch_stats"],
+                                   volume, slices, mask, vmask)
+        updates, opt_state = optimizer.update(grads, state["opt_state"],
+                                              state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        return ({"step": state["step"] + 1, "params": params,
+                 "batch_stats": new_stats, "opt_state": opt_state},
+                dict(metrics, loss=loss))
+
+    return train_step
+
+
+def init_lgca_state(model: LGCANetV3, config, rng, sampler, optimizer=None):
+    """Initialize on host CPU with the sampler's static shapes."""
+    from rpnet_tpu.train.trainer import make_optimizer
+    from rpnet_tpu.utils.device import init_on_host_cpu
+
+    D, H, W = sampler.shape
+    sz, sy, sx = sampler.ds
+    B = sampler.slices_per_step
+    dummy = (jnp.zeros((1, D // sz, H // sy, W // sx, 1), jnp.float32),
+             jnp.zeros((B, H, W, 1), jnp.float32))
+    variables = init_on_host_cpu(model, rng, dummy)
+    if optimizer is None:
+        optimizer = make_optimizer(config)
+    return {"step": 0, "params": variables["params"],
+            "batch_stats": variables.get("batch_stats", {}),
+            "opt_state": optimizer.init(variables["params"])}
+
+
+def evaluate_lgca_volume(model: LGCANetV3, variables, sample,
+                         chunk: int = 16) -> Dict[str, float]:
+    """Whole-volume eval: sweep all z-slices in fixed-size chunks through one
+    jitted forward, threshold at 0.5, per-class Dice (None for empty GT —
+    utils/util.py:379-390 convention)."""
+    volume = jnp.asarray(sample["volume"])
+    slices = sample["slices"]
+    mask = sample["mask"]
+    D = slices.shape[0]
+    K = mask.shape[-1]
+
+    @jax.jit
+    def fwd(vol, sl):
+        out = model.apply(variables, vol, sl, train=False)
+        return jax.nn.sigmoid(out["seg_2d"])
+
+    preds = []
+    for z0 in range(0, D, chunk):
+        sl = slices[z0:z0 + chunk]
+        if sl.shape[0] < chunk:                      # static-shape pad
+            sl = np.pad(sl, ((0, chunk - sl.shape[0]), (0, 0), (0, 0), (0, 0)))
+        preds.append(np.asarray(fwd(volume, jnp.asarray(sl))))
+    pred = np.concatenate(preds)[:D] > 0.5
+
+    out: Dict[str, float] = {}
+    for ki in range(K):
+        gt = mask[..., ki] > 0.5
+        if not gt.any():
+            out[f"class_{ki}"] = None
+            continue
+        p = pred[..., ki]
+        out[f"class_{ki}"] = float(2 * (p & gt).sum() / (p.sum() + gt.sum()))
+    return out

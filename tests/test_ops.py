@@ -243,3 +243,48 @@ def test_pallas_mxu_kernel_matches_xla(rng):
     out = np.asarray(local_correlation_pallas_mxu(f1, f2, 3, h_tile=8,
                                                   interpret=True))
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_pallas_trainable_vmap_and_grad_match_xla(rng):
+    """pallas_correlation_trainable composes with the trainer's transforms:
+    jit(grad(vmap(·))) must equal the XLA formulation (values AND grads) —
+    this is what routes the kernel into training (VERDICT r1 item 3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rpnet_tpu.ops.correlation import local_correlation
+    from rpnet_tpu.ops.pallas.correlation import pallas_correlation_trainable
+
+    r = 2
+    f = pallas_correlation_trainable(r, interpret=True)
+    E, B, H, W, C = 3, 2, 16, 16, 8
+    a = jnp.asarray(rng.randn(E, B, H, W, C).astype(np.float32))
+    b = jnp.asarray(rng.randn(E, B, H, W, C).astype(np.float32))
+
+    # vmapped forward ≡ XLA
+    out_p = jax.vmap(f)(a, b)
+    out_x = jax.vmap(lambda x, y: local_correlation(x, y, r))(a, b)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x), atol=1e-5)
+
+    # jit(grad(vmap)) ≡ XLA grads — the exact trainer composition
+    def loss_p(a, b):
+        return jnp.sum(jax.vmap(f)(a, b) ** 2)
+
+    def loss_x(a, b):
+        return jnp.sum(jax.vmap(
+            lambda x, y: local_correlation(x, y, r))(a, b) ** 2)
+
+    gp = jax.jit(jax.grad(loss_p, argnums=(0, 1)))(a, b)
+    gx = jax.jit(jax.grad(loss_x, argnums=(0, 1)))(a, b)
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gx[0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gx[1]), atol=1e-4)
+
+    # unbatched grad also works (eval-time fine-tuning paths)
+    g1 = jax.grad(lambda x, y: jnp.sum(f(x, y) ** 2), argnums=(0, 1))(a[0], b[0])
+    g2 = jax.grad(lambda x, y: jnp.sum(local_correlation(x, y, r) ** 2),
+                  argnums=(0, 1))(a[0], b[0])
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]), atol=1e-4)
+
+    # nested vmap keeps folding (volume3d batching over windows)
+    out2 = jax.vmap(jax.vmap(f))(a[None], b[None])
+    np.testing.assert_allclose(np.asarray(out2[0]), np.asarray(out_x), atol=1e-5)
