@@ -54,3 +54,54 @@ def test_stage_timer():
     assert t.counts["a"] == 2 and t.totals["a"] >= 0.02
     rep = t.report()
     assert rep.startswith("stage_timing") and "a=" in rep
+
+
+def test_hu_window_and_label_overlay(rng):
+    from rpnet_tpu.utils.visualize import hu_window, label_overlay_rgba
+
+    img = np.array([[-500.0, 0.0, 500.0]])
+    w = hu_window(img, level=0, width=1000)
+    np.testing.assert_allclose(w, [[0.0, 0.5, 1.0]])
+    lab = np.array([[0, 1, 2]])
+    rgba = label_overlay_rgba(lab, alpha=0.7)
+    assert rgba.shape == (1, 3, 4)
+    assert rgba[0, 0, 3] == 0.0            # background transparent
+    assert rgba[0, 1, 3] == rgba[0, 2, 3] == np.float32(0.7)
+    assert not np.allclose(rgba[0, 1, :3], rgba[0, 2, :3])  # distinct colors
+
+
+def test_show3dimg_headless_and_paper_figures(tmp_path, rng):
+    """Interactive browser degrades to a pure render closure headless; the
+    paper-figure family writes files (plot_compare_figure / save_one_slice /
+    generate_image_anim, visualize.py:85-163,:323,:347-556)."""
+    from rpnet_tpu.utils.visualize import (generate_image_anim,
+                                           plot_compare_figure,
+                                           save_one_slice, show3dimg)
+
+    D, H, W = 4, 32, 32
+    img = rng.randn(D, H, W).astype(np.float32) * 100
+    gt = np.zeros((D, H, W), np.int32)
+    gt[:, 8:20, 8:20] = 1
+    pred = np.zeros_like(gt)
+    pred[:, 9:21, 9:21] = 1
+
+    view = show3dimg(img, gt)              # headless → returns the closure
+    assert callable(view)
+    fig = view(z=1, level=0, width=500)
+    assert fig is not None
+
+    params = {"z": 1, "level": 0, "width": 500, "show_mask": True,
+              "start": (0, 4, 4), "end": (D, 28, 28)}
+    paths = plot_compare_figure(img, [gt], [pred], params,
+                                str(tmp_path / "figs"), show_all_legend=True,
+                                fmt=("png",), class_names=["organ"])
+    assert all(os.path.getsize(p) > 0 for p in paths)
+
+    p = save_one_slice(img, [gt], params, str(tmp_path / "one"),
+                       show_all_legend=True, class_names=["organ"])
+    assert os.path.getsize(p) > 0
+
+    anim = generate_image_anim(img[:2], interval=100,
+                               save_path=str(tmp_path / "anim.gif"))
+    assert anim is not None
+    assert os.path.getsize(str(tmp_path / "anim.gif")) > 0
