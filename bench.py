@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--refine-iters", type=int, default=10)
     ap.add_argument("--affine-iters", type=int, default=50)
     ap.add_argument("--radius", type=int, default=5)
+    ap.add_argument("--sampler", default="matmul", choices=["matmul", "gather"],
+                    help="registration resampler; gather + --fit-scale 1 is "
+                         "the reference-exact trajectory mode")
     ap.add_argument("--fit-scale", type=int, default=4,
                     help="registration fit resolution divisor (1 = reference-"
                          "exact trajectory; theta is resolution-invariant)")
@@ -73,17 +76,11 @@ def main():
              jnp.ones((1, 1, 1, H, W)), jnp.zeros((1, H, W, 1)),
              jnp.zeros((1, H, W)))
     t0 = time.time()
-    try:  # init on host CPU (seconds) instead of compiling init over the wire;
-        # params don't depend on the correlation impl, so trace init with XLA
-        os.environ["RPNET_CORR_IMPL"] = "xla"
-        cpu = jax.devices("cpu")[0]
-        with jax.default_device(cpu):
-            variables = model.init(jax.random.PRNGKey(0), *dummy, train=False)
-        variables = jax.device_put(variables, dev)
-    except RuntimeError:
-        variables = model.init(jax.random.PRNGKey(0), *dummy, train=False)
-    finally:
-        os.environ.pop("RPNET_CORR_IMPL", None)
+    # init on host CPU (seconds) instead of compiling init over the wire
+    # (utils/device.init_on_host_cpu pins the correlation impl to XLA during
+    # the trace and restores any caller setting afterwards)
+    from rpnet_tpu.utils.device import init_on_host_cpu
+    variables = init_on_host_cpu(model, jax.random.PRNGKey(0), dummy)
     log(f"init: {time.time() - t0:.1f}s")
 
     compute_dtype = jnp.dtype(args.dtype)
@@ -93,6 +90,7 @@ def main():
             if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, variables)
     fn = jax.jit(episode_metrics_fn(model, affine_iters=args.affine_iters,
                                     demons_iters=0, fit_scale=args.fit_scale,
+                                    sampler=args.sampler,
                                     compute_dtype=compute_dtype))
 
     # synthetic episodes: misaligned ellipse organs (registration has real work)
@@ -140,7 +138,9 @@ def main():
 
     print(json.dumps({"metric": "episodes/sec", "value": round(eps_per_sec, 4),
                       "unit": "episodes/sec",
-                      "vs_baseline": round(vs_baseline, 2) if vs_baseline else None}))
+                      "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+                      "dsc_affine": round(float(out["dsc_affine"]), 4),
+                      "mode": f"fit_scale={args.fit_scale},{args.sampler}"}))
 
 
 if __name__ == "__main__":

@@ -60,7 +60,11 @@ def main():
     ap.add_argument("--n-iter", type=int, default=4)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--fit-scale", type=int, default=4)
+    ap.add_argument("--corr", default=None, choices=["pallas", "xla", "mxu"],
+                    help="correlation impl (sets RPNET_CORR_IMPL)")
     args = ap.parse_args()
+    if args.corr:
+        os.environ["RPNET_CORR_IMPL"] = args.corr
 
     import jax
     if args.platform:

@@ -211,3 +211,27 @@ LOSS_REGISTRY = {
     "ghm_c": ghm_c_loss,
     "ghm_dice": ghm_dice_loss,
 }
+
+
+def make_seg_loss(name: str):
+    """Adapt any registry loss to the RP_Net training contract:
+    (B, H, W, 2) softmax logits + (B, H, W) int labels → scalar.
+
+    The per-class/binary losses (net/unet.py family) expect (N, C) sigmoid
+    scores; for a 2-way softmax the equivalent binary logit is
+    ``logits[..., 1] - logits[..., 0]`` (softmax₂ ≡ sigmoid of the
+    difference). GHM losses get an all-ones validity weight (every pixel is
+    labeled in this pipeline).
+    """
+    fn = LOSS_REGISTRY.get(name, dice_ce)
+    if name in ("dice_ce", "dice_softmax", None):
+        return fn
+
+    def adapted(logits, labels):
+        score = (logits[..., 1] - logits[..., 0]).reshape(-1, 1)
+        target = labels.astype(logits.dtype).reshape(-1, 1)
+        if name in ("ghm_c", "ghm_dice"):
+            pred = score[:, 0] if name == "ghm_c" else jax.nn.sigmoid(score[:, 0])
+            return fn(pred, target[:, 0], jnp.ones_like(target[:, 0]))
+        return jnp.sum(fn(score, target))        # per-class vector → scalar
+    return adapted

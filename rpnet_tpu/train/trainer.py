@@ -82,10 +82,12 @@ def make_train_step(model, config, optimizer) -> Callable:
     affine_iters = int(config.get("reg_affine_iters", 50))
     demons_iters = (int(config.get("reg_demons_iters", 50))
                     if config.get("do_deformable", False) else 0)
+    fit_scale = int(config.get("reg_fit_scale", 1))
+    reg_sampler = str(config.get("reg_sampler", "matmul"))
     align_scaler = float(config.get("align_loss_scaler", 1.0))
     use_registration = bool(config.get("use_registration_loss", True))
-    loss_name = config.get("loss", "dice_ce")
-    seg_loss = LOSS_REGISTRY.get(loss_name, dice_ce)
+    from rpnet_tpu.models.losses import make_seg_loss
+    seg_loss = make_seg_loss(config.get("loss", "dice_ce"))
 
     def episode_loss(params, batch_stats, supp_img, supp_lab, qry_img, qry_lab):
         if not use_registration:
@@ -98,7 +100,8 @@ def make_train_step(model, config, optimizer) -> Callable:
             # stage 1: registration prior (no gradient; stop_gradient fence)
             reg = register_episode(supp_img[0], qry_img, supp_lab[0],
                                    affine_iters=affine_iters,
-                                   demons_iters=demons_iters)
+                                   demons_iters=demons_iters,
+                                   fit_scale=fit_scale, sampler=reg_sampler)
             appr = jax.lax.stop_gradient(reg.warped_label)
             supp_in = jax.lax.stop_gradient(reg.affine_src)
             fore = jax.lax.stop_gradient(reg.affine_label)

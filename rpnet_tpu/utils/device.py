@@ -17,6 +17,7 @@ def init_on_host_cpu(model, rng, dummy, train: bool = False):
     import jax
 
     dev = jax.devices()[0]
+    prev = os.environ.get("RPNET_CORR_IMPL")   # restore, don't clobber
     try:
         os.environ["RPNET_CORR_IMPL"] = "xla"
         cpu = jax.devices("cpu")[0]
@@ -28,4 +29,7 @@ def init_on_host_cpu(model, rng, dummy, train: bool = False):
     except RuntimeError:
         return model.init(rng, *dummy, train=train)
     finally:
-        os.environ.pop("RPNET_CORR_IMPL", None)
+        if prev is None:
+            os.environ.pop("RPNET_CORR_IMPL", None)
+        else:
+            os.environ["RPNET_CORR_IMPL"] = prev

@@ -126,3 +126,21 @@ def test_topk_neg_selection(rng):
     assert float(w2[100:].sum()) == 10.0
     # every valid selected "negative" really has label 0
     assert float(jnp.sum(t2[100:] * w2[100:])) == 0.0
+
+
+def test_make_seg_loss_every_registry_entry_trains(rng):
+    """Every YAML `loss:` choice adapts to the RP_Net training contract
+    ((B,H,W,2) logits + int labels → finite scalar with finite grads)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rpnet_tpu.models.losses import LOSS_REGISTRY, make_seg_loss
+
+    logits = jnp.asarray(rng.randn(2, 16, 16, 2).astype(np.float32))
+    labels = jnp.asarray((rng.rand(2, 16, 16) > 0.7).astype(np.int32))
+    for name in LOSS_REGISTRY:
+        f = make_seg_loss(name)
+        v = f(logits, labels)
+        assert np.isfinite(float(v)), name
+        g = jax.grad(lambda l: f(l, labels))(logits)
+        assert bool(jnp.isfinite(g).all()), name
