@@ -13,6 +13,7 @@ Run: python bench_tools/train_fullsize.py [--episodes 1] [--steps 4]
 Writes bench_trainstep.json next to the repo's other bench artifacts.
 """
 import argparse
+import contextlib
 import json
 import os
 import sys
@@ -62,6 +63,9 @@ def main():
     ap.add_argument("--fit-scale", type=int, default=4)
     ap.add_argument("--corr", default=None, choices=["pallas", "xla", "mxu"],
                     help="correlation impl (sets RPNET_CORR_IMPL)")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="jax.profiler trace the timed steps into DIR and "
+                         "print the top device ops")
     args = ap.parse_args()
     if args.corr:
         os.environ["RPNET_CORR_IMPL"] = args.corr
@@ -102,12 +106,21 @@ def main():
     print(f"[compile+step0 {compile_s:.1f}s loss {loss0:.4f} corr={corr_impl}]")
 
     times = []
-    for i in range(args.steps):
-        t0 = time.time()
-        state, metrics = step(state, batch)
-        loss = float(metrics["loss"])        # fetch
-        times.append(time.time() - t0)
-        print(f"step {i + 1}: {times[-1]:.3f}s loss {loss:.4f}")
+    ctx = contextlib.nullcontext()
+    if args.profile:
+        from rpnet_tpu.utils.profiling import trace
+        ctx = trace(args.profile)
+    with ctx:
+        for i in range(args.steps):
+            t0 = time.time()
+            state, metrics = step(state, batch)
+            loss = float(metrics["loss"])        # fetch
+            times.append(time.time() - t0)
+            print(f"step {i + 1}: {times[-1]:.3f}s loss {loss:.4f}")
+    if args.profile:
+        from rpnet_tpu.utils.profiling import summarize_trace
+        for name, ms, n in summarize_trace(args.profile, top=25):
+            print(f"{ms:9.1f} ms  {n:4d}x  {name}")
 
     step_s = float(np.median(times))
     result = {

@@ -201,6 +201,48 @@ def evaluate(runner: EpisodeRunner, sampler: EpisodeSampler, config: Config):
     return dsc_affine_list, dsc_fewshot_list, dsc_refinement_list, failures
 
 
+def evaluate_3d(runner, sampler, config):
+    """One whole-volume eval pass (``eval_3d: true`` — BASELINE config 5).
+
+    Every query slice is segmented (sliding z-windows of the compiled episode
+    program, overlap-averaged in probability space) instead of the reference's
+    k-bin subsampling; per-volume Dice aggregates per class like the episodic
+    protocol. Same fault isolation as :func:`evaluate`.
+    """
+    import traceback
+
+    from rpnet_tpu.episode.volume3d import Volume3DRunner, Volume3DSampler
+
+    eval_classes = config["eval_classes"]
+    vrunner = Volume3DRunner(runner, overlap=int(config.get("overlap_3d", 8)))
+    vsampler = Volume3DSampler(sampler)
+    dsc_affine_list = defaultdict(list)
+    dsc_fewshot_list = defaultdict(list)
+    failures = 0
+    for j in range(len(vsampler)):
+        try:
+            supp_img, supp_lab, qry_img, qry_lab, meta = vsampler.sample(j)
+            res = vrunner.run_volume(supp_img, supp_lab, qry_img, qry_lab)
+        except Exception:
+            failures += 1
+            print(f"{j} VOLUME FAILED — skipping:\n{traceback.format_exc()}")
+            continue
+        cls = eval_classes[meta["class_id"]]
+        print(f"{j} {meta['pid']} {meta['supp_pid']} affine {res.dsc_affine}, "
+              f"fewshot {res.dsc_fewshot} ({res.n_windows} windows)")
+        dsc_affine_list[cls].append(res.dsc_affine)
+        dsc_fewshot_list[cls].append(res.dsc_fewshot)
+
+    for cls in eval_classes:
+        aff = [d for d in dsc_affine_list[cls] if d is not None]
+        few = [d for d in dsc_fewshot_list[cls] if d is not None]
+        print(f"{cls}, affine {np.average(aff) if aff else float('nan')}, "
+              f"fewshot {np.average(few) if few else float('nan')}")
+    if failures:
+        print(f"[{failures} volume(s) failed this pass]")
+    return dsc_affine_list, dsc_fewshot_list, defaultdict(lambda: defaultdict(list)), failures
+
+
 def eval_lgca(config, out_dir):
     """LGCANet_V3 whole-volume eval: per-ROI Dice over the eval split
     (the reference's episodic eval loop cannot feed this model — its forward
@@ -303,9 +345,10 @@ def main(argv=None):
     total_slices = 0
 
     total_failures = 0
+    eval_fn = evaluate_3d if config.get("eval_3d") else evaluate
     for i in range(n_runs):
         print(f"{i + 1} / {n_runs}")
-        a, f, r, failures = evaluate(runner, sampler, config)
+        a, f, r, failures = eval_fn(runner, sampler, config)
         total_episodes += len(sampler)
         total_failures += failures
         for k in eval_classes:

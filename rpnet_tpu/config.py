@@ -133,6 +133,9 @@ _DEFAULTS: Dict[str, Any] = {
     "use_all_supports": False, # lift the reference's eval support-overwrite defect
     "multishot_fusion": False, # native multi-support mode: register EVERY shot,
                                # fuse prototypes over shots (BASELINE config 3)
+    "eval_3d": False,          # whole-volume sliding-window eval (every query
+                               # slice segmented; episode/volume3d.py)
+    "overlap_3d": 8,           # z-overlap between eval_3d windows
     "seed": 0,
 }
 

@@ -121,6 +121,46 @@ def masks2bboxes_masks(masks: np.ndarray, border: float):
     return bboxes, truth_masks
 
 
+def get_contours_from_masks(masks: np.ndarray) -> np.ndarray:
+    """Per-organ boundary maps, (num_class, D, H, W) → same-shape uint8.
+
+    Rebuild of utils/util.py:306-330. The reference walks every (organ, slice)
+    pair through ``skimage.measure.find_contours`` and rounds the subpixel
+    points to ints; the result is the set of foreground pixels on the mask
+    boundary. Here the boundary is computed directly as the morphological
+    inner gradient (foreground pixels with at least one 4-neighbour outside
+    the mask), fully vectorized over all organs and slices at once.
+    """
+    m = (np.asarray(masks) > 0)
+    p = np.pad(m, [(0, 0), (0, 0), (1, 1), (1, 1)])
+    interior = (p[..., :-2, 1:-1] & p[..., 2:, 1:-1]
+                & p[..., 1:-1, :-2] & p[..., 1:-1, 2:])
+    return (m & ~interior).astype(np.uint8)
+
+
+def _merge_label_stack(stack: np.ndarray) -> np.ndarray:
+    """(num_class, D, H, W) binary stack → (D, H, W) labels, later class wins."""
+    s = np.asarray(stack) > 0
+    num_class = s.shape[0]
+    # argmax over reversed channels finds the LAST positive class per voxel
+    # (reference semantics: later class overrides, utils/util.py:343-344).
+    rev_first = np.argmax(s[::-1], axis=0)
+    label = np.where(s.any(axis=0), num_class - rev_first, 0)
+    return label.astype(np.uint8)
+
+
+def merge_contours(contours: np.ndarray) -> np.ndarray:
+    """Merge per-organ contour maps into one labeled (D, H, W) volume
+    (utils/util.py:333-346; overlaps resolved in favor of the later class)."""
+    return _merge_label_stack(contours)
+
+
+def merge_masks(masks: np.ndarray) -> np.ndarray:
+    """Merge per-organ masks into one labeled (D, H, W) volume
+    (utils/util.py:349-362; overlaps resolved in favor of the later class)."""
+    return _merge_label_stack(masks)
+
+
 def detections2mask(detections, masks, img_reso, num_class: int = 28):
     """Paste per-detection mask crops back into a volume (utils/util.py:223-250)."""
     from scipy.ndimage import zoom

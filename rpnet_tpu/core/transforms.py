@@ -47,6 +47,12 @@ def normalize(img: np.ndarray, minimum: float = -1024, maximum: float = 3076) ->
     return img * 2 - 1
 
 
+def truncate_HU_uint8(img: np.ndarray) -> np.ndarray:
+    """Window HU to [-1200, 600] and quantize to uint8 (utils/util.py:879-887)."""
+    scaled = (np.asarray(img, np.float64) + 1200.0) / 1800.0
+    return (np.clip(scaled, 0.0, 1.0) * 255).astype("uint8")
+
+
 def normalize_jax(img, minimum: float = -1024, maximum: float = 3076):
     """Device twin of :func:`normalize` (jit-safe, static shapes)."""
     hir = jnp.percentile(img, 100.0 - 0.5)

@@ -65,6 +65,52 @@ def draw_bboxes(slice_img: np.ndarray, bboxes_yx: Sequence[Sequence[float]],
     return rgb
 
 
+def plot2dcontour(img_arr: np.ndarray, contour_arr: np.ndarray,
+                  figsize=(20, 20), save_path: Optional[str] = None):
+    """Side-by-side slice view: raw image | image + contour overlay
+    (utils/visualize counterpart of utils/util.py:624-639). Headless-safe:
+    returns the figure and optionally saves instead of plt.show()."""
+    plt = _plt()
+    masked = np.ma.masked_where(np.asarray(contour_arr) == 0, contour_arr)
+    fig, axes = plt.subplots(1, 2, figsize=figsize)
+    axes[0].imshow(img_arr, cmap="gray", interpolation="none")
+    axes[1].imshow(img_arr, cmap="gray", interpolation="none")
+    axes[1].imshow(masked, cmap="cool", interpolation="none", alpha=0.7)
+    for ax in axes:
+        ax.axis("off")
+    if save_path:
+        fig.savefig(save_path, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
+def create_image_mask_files(ct_dir: str, rs_path: str, roi_name: str,
+                            out_dir: Optional[str] = None,
+                            img_format: str = "png") -> int:
+    """Export a DICOM patient as per-slice image/mask PNG pairs under
+    ``out_dir/images`` and ``out_dir/masks`` (utils/util.py:736-756).
+
+    The reference resolved the ROI by positional index into the RTSTRUCT and
+    flood-filled contours per slice; here the ROI is matched by name through
+    :mod:`rpnet_tpu.preprocess.dicom` (polygon fill) — same outputs, stable
+    against ROI reordering. Returns the number of slices written.
+    """
+    from rpnet_tpu.preprocess.dicom import get_patient_data, merge_roi_masks
+
+    plt = _plt()
+    vol, masks, _ = get_patient_data(ct_dir, rs_path)
+    mask = merge_roi_masks(roi_name, masks, vol.shape)
+    out_dir = out_dir or os.path.dirname(os.path.abspath(ct_dir))
+    os.makedirs(os.path.join(out_dir, "images"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "masks"), exist_ok=True)
+    for i in range(vol.shape[0]):
+        plt.imsave(os.path.join(out_dir, "images", f"image_{i}.{img_format}"),
+                   vol[i], cmap="gray")
+        plt.imsave(os.path.join(out_dir, "masks", f"mask_{i}.{img_format}"),
+                   mask[i], cmap="gray")
+    return int(vol.shape[0])
+
+
 def volume_grid(volume: np.ndarray, n_cols: int = 8,
                 max_slices: Optional[int] = None) -> np.ndarray:
     """Tile a (D, H, W) volume into one 2D mosaic for quick inspection."""

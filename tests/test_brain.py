@@ -167,3 +167,37 @@ def test_elastic_transform_matches_cv2_scipy_oracle(rng):
                                      mode="constant").reshape(shape_size)
             agree = np.mean(out_mask[j, i] == want_m)
             assert agree > 0.995, f"mask agreement {agree} (z={i}, cls={j})"
+
+
+def test_contours_from_masks_and_merge():
+    from rpnet_tpu.core.boxes import (get_contours_from_masks, merge_contours,
+                                      merge_masks)
+
+    masks = np.zeros((2, 3, 8, 8), np.uint8)
+    masks[0, 1, 2:6, 2:6] = 1          # 4x4 square on slice 1
+    masks[1, 1, 4:8, 4:8] = 1          # overlapping square, later class
+    c = get_contours_from_masks(masks)
+    assert c.shape == masks.shape and c.dtype == np.uint8
+    # boundary of a 4x4 square is its 12-pixel ring; interior 2x2 removed
+    assert c[0, 1].sum() == 12
+    assert c[0, 1, 3, 3] == 0 and c[0, 1, 2, 2] == 1
+    # contours are a subset of their masks and empty slices stay empty
+    assert np.all(masks[c > 0] > 0) and c[0, 0].sum() == 0
+
+    merged = merge_masks(masks)
+    assert merged.shape == (3, 8, 8) and merged.dtype == np.uint8
+    assert merged[1, 2, 2] == 1        # only class 0
+    assert merged[1, 5, 5] == 2        # overlap -> later class wins
+    assert merged[1, 7, 7] == 2 and merged[0].max() == 0
+    mc = merge_contours(c)
+    assert mc.max() <= 2 and mc[1, 2, 2] == 1
+
+
+def test_truncate_hu_uint8():
+    from rpnet_tpu.core.transforms import truncate_HU_uint8
+
+    img = np.array([-2000.0, -1200.0, -300.0, 600.0, 900.0])
+    out = truncate_HU_uint8(img)
+    assert out.dtype == np.uint8
+    assert out[0] == 0 and out[1] == 0 and out[3] == 255 and out[4] == 255
+    assert out[2] == int((900.0 / 1800.0) * 255)

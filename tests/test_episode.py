@@ -296,3 +296,23 @@ def test_eval_fault_isolation(synth, tmp_path):
     # the surviving episodes still aggregated
     assert "Liver" in results["classes"]
     assert calls["n"] == 3  # 3 eval episodes attempted
+
+
+def test_cli_eval_3d(synth, tmp_path):
+    """`eval_3d: true` routes the eval CLI through the whole-volume
+    sliding-window path (episode/volume3d.py) — per-class affine/fewshot
+    aggregation, no refinement table."""
+    import yaml as pyyaml
+
+    from rpnet_tpu.cli import test_rpnet as cli
+
+    cfg = small_config(synth, n_runs=1, out_dir=str(tmp_path / "o3d"),
+                       eval_3d=True, overlap_3d=2, slice_bucket=8,
+                       max_slices=8, num_workers=0)
+    ypath = str(tmp_path / "c3d.yml")
+    pyyaml.safe_dump(cfg.to_dict(), open(ypath, "w"))
+    results = cli.main(["--yaml", ypath])
+    assert results is not None and "Liver" in results["classes"]
+    aff_mean = results["classes"]["Liver"]["affine"][0]
+    assert 0.3 < aff_mean <= 1.0
+    assert results["classes"]["Liver"]["refinement"] == {}

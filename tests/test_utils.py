@@ -105,3 +105,13 @@ def test_show3dimg_headless_and_paper_figures(tmp_path, rng):
                                save_path=str(tmp_path / "anim.gif"))
     assert anim is not None
     assert os.path.getsize(str(tmp_path / "anim.gif")) > 0
+
+
+def test_plot2dcontour_headless(tmp_path, rng):
+    from rpnet_tpu.utils.visualize import plot2dcontour
+
+    img = rng.rand(32, 32)
+    contour = np.zeros((32, 32)); contour[10:20, 10] = 1
+    out = str(tmp_path / "c.png")
+    fig = plot2dcontour(img, contour, figsize=(4, 2), save_path=out)
+    assert os.path.exists(out) and os.path.getsize(out) > 0
