@@ -92,7 +92,12 @@ def main():
     model = model_factory["RP_Net"](cfg, align=True, num_iter=args.n_iter)
     opt = make_optimizer(cfg)
     state = init_train_state(model, cfg, jax.random.PRNGKey(0))
-    step = jax.jit(make_train_step(model, cfg, opt))
+    from rpnet_tpu.utils.device import aot_compile_step
+    t0 = time.time()
+    step = aot_compile_step(
+        make_train_step(model, cfg, opt), state,
+        ((E, 1, k, H, W), (E, 1, k, H, W), (E, k, H, W), (E, k, H, W)))
+    compile_s = time.time() - t0
 
     batch = tuple(map(jnp.asarray, synth_batch(E, k, H, W)))
     corr_impl = os.environ.get(
@@ -102,8 +107,8 @@ def main():
     t0 = time.time()
     state, metrics = step(state, batch)
     loss0 = float(metrics["loss"])           # fetch = real completion
-    compile_s = time.time() - t0
-    print(f"[compile+step0 {compile_s:.1f}s loss {loss0:.4f} corr={corr_impl}]")
+    print(f"[compile {compile_s:.1f}s, step0 {time.time() - t0:.1f}s "
+          f"loss {loss0:.4f} corr={corr_impl}]")
 
     times = []
     ctx = contextlib.nullcontext()

@@ -158,9 +158,17 @@ def main(argv=None):
         restored_opt = restore_opt_state(state["opt_state"], config["ckpt"])
         if restored_opt is not None:
             state["opt_state"] = restored_opt
-            state["step"] = start_epoch * steps_per_epoch
+            state["step"] = np.int32(start_epoch * steps_per_epoch)
 
-    train_step = jax.jit(make_train_step(model, config, optimizer))
+    # AOT compile (one compile total — plain jit recompiles on step 2 because
+    # output param layouts re-key the cache; utils/device.aot_compile_step)
+    from rpnet_tpu.utils.device import aot_compile_step
+    H, W = config.get("crop_size", [256, 256])
+    k = int(config.get("k", 12))
+    E, Sh = batch_size, int(config.get("n_shot", 1))
+    train_step = aot_compile_step(
+        make_train_step(model, config, optimizer), state,
+        ((E, Sh, k, H, W), (E, Sh, k, H, W), (E, k, H, W), (E, k, H, W)))
 
     writer = None
     try:

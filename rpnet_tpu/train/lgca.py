@@ -60,7 +60,7 @@ def init_lgca_state(model: LGCANetV3, config, rng, sampler, optimizer=None):
     variables = init_on_host_cpu(model, rng, dummy)
     if optimizer is None:
         optimizer = make_optimizer(config)
-    return {"step": 0, "params": variables["params"],
+    return {"step": np.int32(0), "params": variables["params"],
             "batch_stats": variables.get("batch_stats", {}),
             "opt_state": optimizer.init(variables["params"])}
 

@@ -86,8 +86,13 @@ def make_train_step(model, config, optimizer) -> Callable:
     reg_sampler = str(config.get("reg_sampler", "matmul"))
     align_scaler = float(config.get("align_loss_scaler", 1.0))
     use_registration = bool(config.get("use_registration_loss", True))
+    compute_dtype = jnp.dtype(config.get("compute_dtype", "float32"))
     from rpnet_tpu.models.losses import make_seg_loss
     seg_loss = make_seg_loss(config.get("loss", "dice_ce"))
+
+    def _cast(tree, dtype):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, tree)
 
     def episode_loss(params, batch_stats, supp_img, supp_lab, qry_img, qry_lab):
         if not use_registration:
@@ -108,16 +113,26 @@ def make_train_step(model, config, optimizer) -> Callable:
 
         supp_t = supp_in[None, None, ..., None]
         fore_t = fore[None, None]
+        # mixed precision (compute_dtype: bfloat16): cast params (master copy
+        # stays f32; the casts are differentiable so grads accumulate back to
+        # f32) but NOT activations — matching the eval path (EpisodeRunner),
+        # so matmuls/convs take one bf16 operand (MXU) while the scan carry
+        # and the loss stay f32
+        net_params = _cast(params, compute_dtype)
+        net_stats = _cast(batch_stats, compute_dtype)
         out, mutated = model.apply(
-            {"params": params, "batch_stats": batch_stats},
+            {"params": net_params, "batch_stats": net_stats},
             supp_t, fore_t, 1.0 - fore_t, qry_img[..., None], appr,
             train=True, mutable=["batch_stats"])
-        logits = out["output"]
+        logits = out["output"].astype(jnp.float32)
         labels = qry_lab.astype(jnp.int32)
         seg = seg_loss(logits, labels)
-        loss = seg + align_scaler * out["align_loss"]
+        loss = seg + align_scaler * out["align_loss"].astype(jnp.float32)
         metrics = {"seg_loss": seg, "align_loss": out["align_loss"]}
-        return loss, (metrics, mutated["batch_stats"])
+        new_stats = jax.tree_util.tree_map(
+            lambda new, old: new.astype(old.dtype),
+            mutated["batch_stats"], batch_stats)
+        return loss, (metrics, new_stats)
 
     def batch_loss(params, batch_stats, batch):
         supp_img, supp_lab, qry_img, qry_lab = batch
@@ -164,7 +179,10 @@ def init_train_state(model, config, rng, sample_shapes=None,
     if optimizer is None:
         optimizer = make_optimizer(config)
     opt_state = optimizer.init(variables["params"])
-    return {"step": 0, "params": variables["params"],
+    # step as a strong-typed int32 scalar: a weak-typed python 0 here makes
+    # the SECOND train_step call a cache miss (the returned step is a strong
+    # int32 array) — i.e. a full ~2-minute recompile of the training program
+    return {"step": np.int32(0), "params": variables["params"],
             "batch_stats": variables.get("batch_stats", {}),
             "opt_state": opt_state}
 

@@ -316,3 +316,22 @@ def test_cli_eval_3d(synth, tmp_path):
     aff_mean = results["classes"]["Liver"]["affine"][0]
     assert 0.3 < aff_mean <= 1.0
     assert results["classes"]["Liver"]["refinement"] == {}
+
+
+def test_train_cli_end_to_end(synth, tmp_path):
+    """RP_Net train CLI: one epoch on synthetic volumes through the AOT-
+    compiled step -> orbax checkpoint on disk, finite loss, step advanced."""
+    import yaml as pyyaml
+
+    from rpnet_tpu.cli import train as train_cli
+
+    cfg = small_config(synth, out_dir=str(tmp_path / "tr"), batch_size=2,
+                       epochs=1, epoch_save=1, init_lr=1e-4,
+                       weight_decay=1e-4, scheduler_step=30,
+                       align_loss_scaler=0.3, loss="dice_ce",
+                       do_intaug=False)
+    ypath = str(tmp_path / "tr.yml")
+    pyyaml.safe_dump(cfg.to_dict(), open(ypath, "w"))
+    state = train_cli.main(["--yaml", ypath, "--episodes-per-epoch", "2"])
+    assert state is not None and int(state["step"]) >= 1
+    assert os.path.isdir(str(tmp_path / "tr" / "model" / "epoch_000"))

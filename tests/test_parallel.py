@@ -117,3 +117,65 @@ def test_sharded_train_step(rng):
     new_state, metrics = run(state, batch)
     assert np.isfinite(float(metrics["loss"]))
     assert new_state["step"] == 1
+
+
+def test_aot_train_step_roundtrips(rng):
+    """The AOT-compiled train step (the CLIs' path) accepts its own output
+    state back — one compile total. Plain jit recompiles the full training
+    program on step 2 on TPU (output param LAYOUTS re-key the cache; measured
+    136s at 256²) — utils/device.aot_compile_step is the fix."""
+    from rpnet_tpu.train.trainer import (init_train_state, make_optimizer,
+                                         make_train_step)
+    from rpnet_tpu.utils.device import aot_compile_step
+
+    cfg = Config({"backbone": "UNet", "crop_size": [16, 16], "k": 2,
+                  "n_iter_refinement": 1, "mask_refinement_correlation_radius": 1,
+                  "reg_affine_iters": 2, "init_lr": 1e-4})
+    model = model_factory["RP_Net"](cfg, num_iter=1)
+    opt = make_optimizer(cfg)
+    state = init_train_state(model, cfg, jax.random.PRNGKey(0))
+    E, k, H = 1, 2, 16
+    step = aot_compile_step(make_train_step(model, cfg, opt), state,
+                            ((E, 1, k, H, H), (E, 1, k, H, H),
+                             (E, k, H, H), (E, k, H, H)))
+    batch = (rng.randn(E, 1, k, H, H).astype(np.float32) * 0.1,
+             (rng.rand(E, 1, k, H, H) > 0.8).astype(np.float32),
+             rng.randn(E, k, H, H).astype(np.float32) * 0.1,
+             (rng.rand(E, k, H, H) > 0.8).astype(np.float32))
+    state, m1 = step(state, tuple(map(jnp.asarray, batch)))
+    state, m2 = step(state, tuple(map(jnp.asarray, batch)))
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+    assert float(m2["loss"]) != float(m1["loss"])   # params actually moved
+    assert int(state["step"]) == 2
+
+
+def test_train_step_mixed_precision_bf16(rng):
+    """compute_dtype: bfloat16 trains with f32 master params: loss finite,
+    grads flow (params move), batch_stats stay f32."""
+    import jax.numpy as jnp
+
+    from rpnet_tpu.train.trainer import (init_train_state, make_optimizer,
+                                         make_train_step)
+
+    cfg = Config({"backbone": "UNet", "crop_size": [16, 16], "k": 2,
+                  "n_iter_refinement": 1, "mask_refinement_correlation_radius": 1,
+                  "reg_affine_iters": 2, "init_lr": 1e-3,
+                  "compute_dtype": "bfloat16"})
+    model = model_factory["RP_Net"](cfg, num_iter=1)
+    opt = make_optimizer(cfg)
+    state = init_train_state(model, cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(model, cfg, opt))
+    E, k, H = 1, 2, 16
+    batch = (rng.randn(E, 1, k, H, H).astype(np.float32) * 0.1,
+             (rng.rand(E, 1, k, H, H) > 0.8).astype(np.float32),
+             rng.randn(E, k, H, H).astype(np.float32) * 0.1,
+             (rng.rand(E, k, H, H) > 0.8).astype(np.float32))
+    p0 = jax.tree_util.tree_leaves(state["params"])[0].copy()
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    leaves = jax.tree_util.tree_leaves(state["params"])
+    assert all(l.dtype == jnp.float32 for l in leaves)
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree_util.tree_leaves(state["batch_stats"]))
+    assert not np.allclose(np.asarray(p0),
+                           np.asarray(jax.tree_util.tree_leaves(state["params"])[0]))
