@@ -63,6 +63,8 @@ def main():
     ap.add_argument("--fit-scale", type=int, default=4)
     ap.add_argument("--corr", default=None, choices=["pallas", "xla", "mxu"],
                     help="correlation impl (sets RPNET_CORR_IMPL)")
+    ap.add_argument("--dtype", default="float32",
+                    help="network compute dtype for training (float32 | bfloat16)")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="jax.profiler trace the timed steps into DIR and "
                          "print the top device ops")
@@ -88,7 +90,8 @@ def main():
                   "reg_affine_iters": 50, "do_deformable": False,
                   "init_lr": 1e-5, "weight_decay": 1e-4,
                   "align_loss_scaler": 1.0,
-                  "reg_fit_scale": args.fit_scale})
+                  "reg_fit_scale": args.fit_scale,
+                  "compute_dtype": args.dtype})
     model = model_factory["RP_Net"](cfg, align=True, num_iter=args.n_iter)
     opt = make_optimizer(cfg)
     state = init_train_state(model, cfg, jax.random.PRNGKey(0))
@@ -132,7 +135,7 @@ def main():
         "metric": "train_step_seconds",
         "value": step_s,
         "unit": f"s/step (E={E} episodes, k={k}, {H}x{W}, "
-                f"{args.n_iter} ref iters, corr={corr_impl})",
+                f"{args.n_iter} ref iters, corr={corr_impl}, dtype={args.dtype})",
         "episodes_per_sec": E / step_s,
         "compile_seconds": compile_s,
         "backend": jax.default_backend(),

@@ -342,3 +342,112 @@ def test_golden_ghm_momentum_ema(ref_net, monkeypatch):
                                   momentum=mmt, acc_sum=acc_d)
         np.testing.assert_allclose(float(dj), dt, rtol=1e-5,
                                    err_msg=f"GHMDice step {step}")
+
+
+# ------------------------------------------------ registration golden parity
+
+@pytest.fixture(scope="module")
+def ref_reg(ref_net):
+    """The ACTUAL reference registration module (net/registration.py)."""
+    import net.registration as ref_registration
+    return ref_registration
+
+
+def _reg_pair(H=32, W=32, seed=3):
+    """Smooth misaligned pair: gaussian-bump 'organs' + mild noise."""
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[:H, :W].astype(np.float32)
+
+    def bump(cy, cx, ry, rx):
+        return np.exp(-(((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2))
+
+    moving = bump(H / 2 + 3, W / 2 - 2, H / 4, W / 5) + \
+        rng.randn(H, W).astype(np.float32) * 0.02
+    fixed = bump(H / 2 - 1, W / 2 + 2, H / 4, W / 5) + \
+        rng.randn(H, W).astype(np.float32) * 0.02
+    return moving.astype(np.float32), fixed.astype(np.float32)
+
+
+def test_golden_affine_fit_trajectory(ref_reg):
+    """fit_affine reproduces AffineRegistration.train_registraion
+    (net/registration.py:316-357): theta AND warped image after N Adam steps."""
+    from rpnet_tpu.registration.affine import affine_warp, fit_affine
+
+    H = W = 32
+    iters = 8
+    moving, fixed = _reg_pair(H, W)
+    t_m = torch.tensor(moving[None, None])
+    t_f = torch.tensor(fixed[None, None])
+    reg = ref_reg.AffineRegistration((H, W))
+    opt = torch.optim.Adam(reg.parameters(), lr=0.01)
+    reg.train_registraion(t_m, t_f, opt, loss_fn=ref_reg.MSE, iters=iters)
+    theta_ref = reg.theta.detach().numpy()[0]
+    with torch.no_grad():
+        warped_ref = reg(t_m).numpy()[0, 0]
+
+    theta, losses = fit_affine(jnp.asarray(moving[..., None]),
+                               jnp.asarray(fixed[..., None]),
+                               iters=iters, sampler="gather")
+    np.testing.assert_allclose(np.asarray(theta), theta_ref, atol=5e-5,
+                               err_msg="theta trajectory drift vs reference")
+    warped = affine_warp(jnp.asarray(moving[..., None]), theta,
+                         sampler="gather")[..., 0]
+    np.testing.assert_allclose(np.asarray(warped), warped_ref, atol=5e-5)
+    assert losses.shape == (iters,)
+
+
+def test_golden_demons_fit_trajectory(ref_reg):
+    """fit_demons reproduces DemonsRegistration.train_registraion with the
+    diffeomorphic integrator and GaussianRegulariser post-step smoothing
+    (net/registration.py:225-312, few_shot_reader.py:148-162 settings)."""
+    from rpnet_tpu.registration.demons import demons_warp, fit_demons
+    from rpnet_tpu.ops.sampling import compute_grid
+
+    H = W = 32
+    iters = 5
+    moving, fixed = _reg_pair(H, W, seed=5)
+    t_m = torch.tensor(moving[None, None])
+    t_f = torch.tensor(fixed[None, None])
+    demons = ref_reg.DemonsRegistration((H, W), use_diffeomorphic=True)
+    opt = torch.optim.Adam(demons.parameters(), lr=0.01)
+    regulariser = ref_reg.GaussianRegulariser([1, 1], sigma=[2, 2],
+                                              dtype=torch.float32, device="cpu")
+    demons.train_registraion(t_m, t_f, opt, loss_fn=ref_reg.NCC,
+                             regulariser=regulariser, iters=iters)
+    flow_ref = demons.flow.detach().numpy()[0]          # (2, H, W)
+    with torch.no_grad():
+        warped_ref = demons(t_m, ref_reg.compute_grid((H, W))).numpy()[0, 0]
+
+    flow, losses = fit_demons(jnp.asarray(moving[..., None]),
+                              jnp.asarray(fixed[..., None]),
+                              iters=iters, sigma=(2.0, 2.0),
+                              diffeomorphic=True)
+    np.testing.assert_allclose(np.asarray(flow), flow_ref, atol=1e-4,
+                               err_msg="demons flow trajectory drift")
+    grid_chw = compute_grid((H, W))[0]
+    warped = demons_warp(jnp.asarray(moving[..., None]), flow, grid_chw)[..., 0]
+    np.testing.assert_allclose(np.asarray(warped), warped_ref, atol=1e-4)
+    assert losses.shape == (iters,)
+
+
+def test_golden_deeds_single_shot(ref_reg):
+    """deeds_fit reproduces DEEDSRegistration.train_registraion's sample grid
+    and warped output (net/registration.py:360-471)."""
+    from rpnet_tpu.registration.deeds import deeds_fit, deeds_warp
+
+    H = W = 32
+    moving, fixed = _reg_pair(H, W, seed=7)
+    t_m = torch.tensor(moving[None, None])
+    t_f = torch.tensor(fixed[None, None])
+    deeds = ref_reg.DEEDSRegistration(grid_size=32, displacement_width=15)
+    with torch.no_grad():
+        deeds.train_registraion(t_m, t_f)
+        grid_ref = deeds.sample_grid.numpy()[0]          # (H, W, 2)
+        warped_ref = deeds(t_m).numpy()[0, 0]
+
+    grid = deeds_fit(jnp.asarray(moving[..., None]),
+                     jnp.asarray(fixed[..., None]), grid_size=32)
+    np.testing.assert_allclose(np.asarray(grid), grid_ref, atol=1e-4,
+                               err_msg="DEEDS sample grid drift")
+    warped = deeds_warp(jnp.asarray(moving[..., None]), grid)[..., 0]
+    np.testing.assert_allclose(np.asarray(warped), warped_ref, atol=1e-4)
