@@ -181,6 +181,141 @@ def local_correlation_pallas_mxu(fm1, fm2, r: int, h_tile: int = 16,
     return jnp.transpose(out, (0, 2, 3, 1)).astype(fm1.dtype)
 
 
+# ------------------------------------------------------- backward kernel
+
+def _corr_bwd_kernel(gp5_hbm, fm1p_hbm, fm2p_hbm, dfm1_ref, dfm2_ref,
+                     fm1s, fm2s, g1s, g2s, sg1, sg2, sem1, sem2, *,
+                     H_tile, W, r, scale):
+    """Grid step (b, h_tile): BOTH input grads of the local correlation.
+
+    The backward has the same local-shift structure as the forward:
+      dfm1[p, c] = Σ_{dy,dx} g[p, ch(dx,dy)] · fm2p[p + (dy,dx), c]
+      dfm2[q, c] = Σ_{dy,dx} g[q - (dy-r,dx-r), ch] · fm1[q - (dy-r,dx-r), c]
+    (the dfm2 form is GATHERED — no scatter-adds). Both are lane-parallel
+    FMAs over C; the XLA formulation is ~242 full-HBM passes, this kernel
+    reads each operand once per tile.
+
+    Layout trick: g arrives as ONE padded array (B·d_dy, H+2r, Wp2, 128) —
+    the (b, dy) scalar fuses on dim 0 (Mosaic rejects 5-D HBM slices with a
+    dynamic dim-1 index) and the d_dx channel group pads to a full 128-lane
+    tile (DMA slice widths must be lane-aligned). Per-dy row windows are
+    DMA'd inside the fori loop (SINGLE-buffered: a dynamic slot index into
+    double-buffered scratch made Mosaic emit a 5 GB program); channel
+    extraction in-kernel is then a STATIC dx lane index. The fm1/fm2 halo
+    slabs load once per tile.
+
+    fm1s/fm2s: (H_tile+2r, Wp, C) VMEM scratch
+    g1s/g2s:   (H_tile, Wp2, 128) per-dy g rows (dfm1 / row-shifted dfm2)
+    """
+    d = 2 * r + 1
+    b = pl.program_id(0)
+    ht = pl.program_id(1)
+    row0 = ht * H_tile
+
+    fdma1 = pltpu.make_async_copy(
+        fm1p_hbm.at[b, pl.ds(row0, H_tile + 2 * r), :, :], fm1s, sem1)
+    fdma2 = pltpu.make_async_copy(
+        fm2p_hbm.at[b, pl.ds(row0, H_tile + 2 * r), :, :], fm2s, sem2)
+    fdma1.start()
+    fdma2.start()
+    fdma1.wait()
+    fdma2.wait()
+
+    dfm1_ref[0] = jnp.zeros_like(dfm1_ref[0])
+    dfm2_ref[0] = jnp.zeros_like(dfm2_ref[0])
+
+    def body(dy, _):
+        g1dma = pltpu.make_async_copy(
+            gp5_hbm.at[b * d + dy, pl.ds(row0 + r, H_tile), :, :], g1s, sg1)
+        g2dma = pltpu.make_async_copy(
+            gp5_hbm.at[b * d + dy, pl.ds(row0 + 2 * r - dy, H_tile), :, :],
+            g2s, sg2)
+        g1dma.start()
+        g2dma.start()
+        g1dma.wait()
+        g2dma.wait()
+        g1 = g1s                             # (Ht, Wp2, 128) — g rows, col pad r
+        g2 = g2s                             # (Ht, Wp2, 128) — row-shifted
+        fm2w = fm2s[pl.ds(dy, H_tile)]       # (Ht, Wp, C)
+        fm1w = fm1s[pl.ds(2 * r - dy, H_tile)]
+        acc1 = jnp.zeros(dfm1_ref.shape[1:], jnp.float32)
+        acc2 = jnp.zeros(dfm2_ref.shape[1:], jnp.float32)
+        for dx in range(d):                  # static (lane index must be)
+            # keep g slices 3-D (Ht, W, 1): a scalar `dx` index drops to 2-D,
+            # whose (sublane, lane) relayout + re-broadcast explodes generated
+            # code 121-fold; the 1-lane slice lane-broadcasts natively
+            acc1 = acc1 + (g1[:, r:r + W, dx:dx + 1]
+                           * fm2w[:, dx:dx + W, :]).astype(jnp.float32)
+            acc2 = acc2 + (g2[:, 2 * r - dx:2 * r - dx + W, dx:dx + 1]
+                           * fm1w[:, 2 * r - dx:2 * r - dx + W, :]
+                           ).astype(jnp.float32)
+        dfm1_ref[0] = dfm1_ref[0] + acc1
+        dfm2_ref[0] = dfm2_ref[0] + acc2
+        return 0
+
+    jax.lax.fori_loop(0, d, body, 0)
+    dfm1_ref[0] = dfm1_ref[0] * scale
+    dfm2_ref[0] = dfm2_ref[0] * scale
+
+
+@functools.partial(jax.jit, static_argnames=("r", "h_tile", "interpret"))
+def local_correlation_pallas_bwd(g, fm1, fm2, r: int, h_tile: int = 8,
+                                 interpret: bool = False):
+    """Pallas backward: g (B, H, W, (2r+1)²) → (dfm1, dfm2) like _corr_bwd.
+
+    Channel order is the package-wide dx-major quirk (ch = dx·d + dy); the
+    kernel wants dy-major 5-D inputs, so g is reordered here (one XLA
+    transpose — cheap next to the 242 shifted products it replaces).
+    """
+    B, H, W, C = fm1.shape
+    d = 2 * r + 1
+    scale = float(1.0 / np.sqrt(float(C)))
+    h_tile = min(h_tile, H)
+    if H % h_tile != 0:
+        h_tile = H
+    n_htiles = H // h_tile
+
+    Wp = -(-(W + 2 * r) // 8) * 8
+    fm1p = jnp.pad(fm1, ((0, 0), (r, r), (r, Wp - W - r), (0, 0)))
+    fm2p = jnp.pad(fm2, ((0, 0), (r, r), (r, Wp - W - r), (0, 0)))
+
+    # (B, H, W, dx, dy) → dy-major, (B, d_dy) fused on dim 0, rows/cols
+    # padded r each side (dfm2 reads padded row qy+2r−dy / col qx+2r−dx;
+    # dfm1 reads the same array at row offset +r), d_dx padded to a full
+    # 128-lane tile (DMA slice widths must be lane-aligned)
+    Wp2 = -(-(W + 2 * r) // 8) * 8
+    g_dyM = jnp.transpose(g.reshape(B, H, W, d, d), (0, 4, 1, 2, 3))
+    gp5 = jnp.pad(g_dyM, ((0, 0), (0, 0), (r, r), (r, Wp2 - W - r),
+                          (0, 128 - d)))
+    gp5 = gp5.reshape(B * d, H + 2 * r, Wp2, 128)
+
+    kernel = functools.partial(_corr_bwd_kernel, H_tile=h_tile, W=W, r=r,
+                               scale=scale)
+    dfm1, dfm2 = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((B, h_tile * n_htiles, W, C), jnp.float32),
+                   jax.ShapeDtypeStruct((B, h_tile * n_htiles, W, C), jnp.float32)),
+        grid=(B, n_htiles),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        out_specs=(pl.BlockSpec((1, h_tile, W, C), lambda b, h: (b, h, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, h_tile, W, C), lambda b, h: (b, h, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((h_tile + 2 * r, Wp, C), fm1.dtype),
+            pltpu.VMEM((h_tile + 2 * r, Wp, C), fm2.dtype),
+            pltpu.VMEM((h_tile, Wp2, 128), g.dtype),
+            pltpu.VMEM((h_tile, Wp2, 128), g.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(gp5, fm1p, fm2p)
+    return dfm1.astype(fm1.dtype), dfm2.astype(fm2.dtype)
+
+
 # ---------------------------------------------------------------- custom VJP
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -263,6 +398,22 @@ def pallas_correlation_trainable(r: int, interpret: bool = False):
                      fm2.reshape((E * B,) + fm2.shape[2:]))
         return out.reshape((E, B) + out.shape[1:]), True
 
+    @custom_batching.custom_vmap
+    def bwd_fn(g, fm1, fm2):
+        return local_correlation_pallas_bwd(g, fm1, fm2, r, interpret=interpret)
+
+    @bwd_fn.def_vmap
+    def _bwd_rule(axis_size, in_batched, g, fm1, fm2):  # noqa: ANN001
+        args = []
+        for x, b in zip((g, fm1, fm2), in_batched):
+            if not b:
+                x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+            args.append(x.reshape((-1,) + x.shape[2:]))
+        d1, d2 = bwd_fn(*args)
+        E = axis_size
+        return (d1.reshape((E, -1) + d1.shape[1:]),
+                d2.reshape((E, -1) + d2.shape[1:])), (True, True)
+
     @jax.custom_vjp
     def f(fm1, fm2):
         return fwd_fn(fm1, fm2)
@@ -271,6 +422,16 @@ def pallas_correlation_trainable(r: int, interpret: bool = False):
         return fwd_fn(fm1, fm2), (fm1, fm2)
 
     def f_bwd(res, g):
+        import os
+
+        fm1, fm2 = res
+        impl = os.environ.get("RPNET_CORR_BWD")
+        on_tpu = jax.default_backend() == "tpu"
+        if impl == "pallas" or (impl is None and (on_tpu or interpret)):
+            # Pallas backward: one pass per tile instead of ~242 shifted
+            # full-HBM XLA ops (the custom_vmap rule folds episode axes into
+            # the kernel batch grid, mirroring the forward)
+            return bwd_fn(g, fm1, fm2)
         return _corr_bwd(r, res, g)
 
     f.defvjp(f_fwd, f_bwd)

@@ -288,3 +288,23 @@ def test_pallas_trainable_vmap_and_grad_match_xla(rng):
     # nested vmap keeps folding (volume3d batching over windows)
     out2 = jax.vmap(jax.vmap(f))(a[None], b[None])
     np.testing.assert_allclose(np.asarray(out2[0]), np.asarray(out_x), atol=1e-5)
+
+
+def test_pallas_backward_kernel_matches_analytic(rng):
+    """local_correlation_pallas_bwd ≡ the analytic XLA backward (_corr_bwd)
+    for both input grads, across tiles/halos (interpret mode on CPU)."""
+    import jax.numpy as jnp
+
+    from rpnet_tpu.ops.pallas.correlation import (_corr_bwd,
+                                                  local_correlation_pallas_bwd)
+
+    B, H, W, C, r = 2, 16, 16, 128, 2
+    d = 2 * r + 1
+    fm1 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    fm2 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    g = jnp.asarray(rng.randn(B, H, W, d * d).astype(np.float32))
+    ref1, ref2 = _corr_bwd(r, (fm1, fm2), g)
+    k1, k2 = local_correlation_pallas_bwd(g, fm1, fm2, r, h_tile=8,
+                                          interpret=True)
+    np.testing.assert_allclose(np.asarray(k1), np.asarray(ref1), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(k2), np.asarray(ref2), atol=2e-5)
