@@ -37,12 +37,30 @@ parser.add_argument("--epochs", type=int, default=None)
 parser.add_argument("--episodes-per-epoch", type=int, default=None)
 
 
-def collate_batch(episodes) -> tuple:
-    """Stack episodes (all k slices, same crop) into a leading E axis."""
-    supp_img = np.stack([e.support_images for e in episodes])   # (E, Sh, k, H, W)
-    supp_lab = np.stack([e.support_labels for e in episodes])
-    qry_img = np.stack([e.query_images for e in episodes])      # (E, k, H, W)
-    qry_lab = np.stack([e.query_labels for e in episodes])
+def collate_batch(episodes, target_k: int = None) -> tuple:
+    """Stack episodes into a leading E axis, padded to a common k.
+
+    The slice binning clamps k to the shortest volume in each episode
+    (few_shot_reader.py:465-473 parity, episode/sampler.slice_bins), so a
+    short organ z-range yields fewer than ``k`` slices. Batching needs ONE
+    static k (variable shapes would also recompile the train step), so
+    short episodes are padded by cycling their slices — duplicated
+    support/query pairs, benign for training.
+    """
+    ks = [e.query_images.shape[0] for e in episodes]
+    k = target_k or max(ks)
+
+    def cyc(a, axis):
+        n = a.shape[axis]
+        if n == k:
+            return a
+        idx = np.arange(k) % n
+        return np.take(a, idx, axis=axis)
+
+    supp_img = np.stack([cyc(e.support_images, 1) for e in episodes])  # (E, Sh, k, H, W)
+    supp_lab = np.stack([cyc(e.support_labels, 1) for e in episodes])
+    qry_img = np.stack([cyc(e.query_images, 0) for e in episodes])     # (E, k, H, W)
+    qry_lab = np.stack([cyc(e.query_labels, 0) for e in episodes])
     return supp_img, supp_lab, qry_img, qry_lab
 
 
@@ -186,7 +204,7 @@ def main(argv=None):
         while idx < epi_per_epoch:
             take = [order[(idx + j) % len(order)] for j in range(batch_size)]
             episodes = [sampler.sample(t) for t in take]
-            batch = collate_batch(episodes)
+            batch = collate_batch(episodes, target_k=k)
             state, metrics = train_step(state, tuple(map(jnp.asarray, batch)))
             losses.append(float(metrics["loss"]))
             idx += batch_size

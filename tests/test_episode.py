@@ -335,3 +335,26 @@ def test_train_cli_end_to_end(synth, tmp_path):
     state = train_cli.main(["--yaml", ypath, "--episodes-per-epoch", "2"])
     assert state is not None and int(state["step"]) >= 1
     assert os.path.isdir(str(tmp_path / "tr" / "model" / "epoch_000"))
+
+
+def test_collate_batch_pads_short_episodes():
+    """Episodes whose organ span clamps k below cfg.k pad by cycling slices
+    so the batch has ONE static k (no recompiles, no stack errors)."""
+    from types import SimpleNamespace
+
+    from rpnet_tpu.cli.train import collate_batch
+
+    def ep(k):
+        return SimpleNamespace(
+            support_images=np.arange(k * 4.0).reshape(1, k, 2, 2),
+            support_labels=np.zeros((1, k, 2, 2)),
+            query_images=np.arange(k * 4.0).reshape(k, 2, 2),
+            query_labels=np.zeros((k, 2, 2)))
+
+    si, sl, qi, ql = collate_batch([ep(4), ep(2)], target_k=4)
+    assert si.shape == (2, 1, 4, 2, 2) and qi.shape == (2, 4, 2, 2)
+    # the short episode cycles: slice 2 == slice 0, slice 3 == slice 1
+    np.testing.assert_array_equal(qi[1][2], qi[1][0])
+    np.testing.assert_array_equal(qi[1][3], qi[1][1])
+    # the full-length episode is untouched
+    np.testing.assert_array_equal(qi[0], ep(4).query_images)

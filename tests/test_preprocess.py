@@ -144,3 +144,38 @@ def test_make_seg_loss_every_registry_entry_trains(rng):
         assert np.isfinite(float(v)), name
         g = jax.grad(lambda l: f(l, labels))(logits)
         assert bool(jnp.isfinite(g).all()), name
+
+
+def test_make_splits_then_eval_cli(tmp_path):
+    """Bring-your-own-dataset path (BASELINE config 4): standard-layout
+    volumes -> make_splits metadata -> the standard eval CLI runs on them."""
+    import yaml as pyyaml
+
+    from rpnet_tpu.cli import test_rpnet as cli
+    from rpnet_tpu.core.synthetic import generate_dataset
+    from rpnet_tpu.preprocess.make_splits import discover, make_splits
+
+    paths = generate_dataset(str(tmp_path / "d"), n_train=2, n_test=2,
+                             shape=(16, 48, 48), seed=3)
+    data_dir = paths["data_dir"]
+    pids, rois = discover(data_dir)
+    assert len(pids) == 4 and "Liver" in rois
+
+    res = make_splits(data_dir, str(tmp_path / "meta"), test_frac=0.5, seed=1)
+    assert res["n_train"] + res["n_test"] == 4 and res["n_test"] == 2
+    assert os.path.isfile(os.path.join(res["class_dir"], "Liver.csv"))
+
+    cfg = dict(data_dir=data_dir, class_csv_dir=res["class_dir"],
+               eval_set_name=res["test_csv"], train_set_name=res["train_csv"],
+               num_slice=16, num_x=48, num_y=48, crop_size=[32, 32],
+               pad_value=-1024, HU_range=[-1024, 3072],
+               n_shot=1, n_way=1, k=4, eval_classes=["Liver"],
+               train_classes=["Spleen"], backbone="UNet",
+               n_iter_refinement=1, n_test_iter_refinement=1,
+               mask_refinement_correlation_radius=1, reg_affine_iters=4,
+               slice_bucket=4, max_slices=8, n_runs=1,
+               out_dir=str(tmp_path / "out"))
+    ypath = str(tmp_path / "c.yml")
+    pyyaml.safe_dump(cfg, open(ypath, "w"))
+    results = cli.main(["--yaml", ypath])
+    assert results is not None and "Liver" in results["classes"]
