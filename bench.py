@@ -61,6 +61,9 @@ def main():
     from rpnet_tpu.config import Config
     from rpnet_tpu.episode.pipeline import episode_metrics_fn
     from rpnet_tpu.models.factory import model_factory
+    from rpnet_tpu.utils.device import maybe_enable_compilation_cache
+
+    maybe_enable_compilation_cache()
 
     dev = jax.devices()[0]
     log(f"device: {dev.device_kind} ({dev.platform})")

@@ -307,6 +307,9 @@ def main(argv=None):
     from rpnet_tpu.parallel.mesh import maybe_initialize_distributed
     maybe_initialize_distributed(config)
 
+    from rpnet_tpu.utils.device import maybe_enable_compilation_cache
+    maybe_enable_compilation_cache(config)
+
     seed = int(config.get("seed", 0))
     np.random.seed(seed)
     random.seed(seed)

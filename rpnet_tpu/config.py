@@ -136,6 +136,8 @@ _DEFAULTS: Dict[str, Any] = {
     "eval_3d": False,          # whole-volume sliding-window eval (every query
                                # slice segmented; episode/volume3d.py)
     "overlap_3d": 8,           # z-overlap between eval_3d windows
+    "compilation_cache_dir": None,  # persistent XLA compile cache (None =
+                               # ~/.cache/rpnet_tpu/xla; "" disables)
     "seed": 0,
 }
 

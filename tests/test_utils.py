@@ -115,3 +115,25 @@ def test_plot2dcontour_headless(tmp_path, rng):
     out = str(tmp_path / "c.png")
     fig = plot2dcontour(img, contour, figsize=(4, 2), save_path=out)
     assert os.path.exists(out) and os.path.getsize(out) > 0
+
+
+def test_compilation_cache_knob(tmp_path):
+    import jax
+
+    from rpnet_tpu.config import Config
+    from rpnet_tpu.utils.device import maybe_enable_compilation_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        d = str(tmp_path / "xla")
+        assert maybe_enable_compilation_cache(
+            Config({"compilation_cache_dir": d})) == d
+        assert jax.config.jax_compilation_cache_dir == d
+        # explicit empty string disables (returns None, leaves config as-is)
+        assert maybe_enable_compilation_cache(
+            Config({"compilation_cache_dir": ""})) is None
+        # default resolves under ~/.cache
+        p = maybe_enable_compilation_cache(Config({}))
+        assert p and p.endswith(os.path.join(".cache", "rpnet_tpu", "xla"))
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
