@@ -1,0 +1,173 @@
+"""Sweep local-correlation kernel variants at the real episode shape.
+
+Usage: python bench_tools/corr_sweep.py
+Shape: B=32 query slices, 64x64 @ C=256 (U-Net d4 of a 256 episode), r=5.
+
+Variants:
+  * pallas (current default) at several h_tiles
+  * pallas-swapped: dx outer/static with the lane-rotation hoisted out of the
+    dy loop (121 -> 11 rotations) — candidate from docs/perf_trace_r1.md #1
+  * mxu banded-matmul, f32 and bf16 inputs
+  * XLA shifted products
+"""
+
+import functools
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rpnet_tpu.ops.correlation import local_correlation, local_correlation_mxu
+from rpnet_tpu.ops.pallas.correlation import (local_correlation_pallas,
+                                              local_correlation_pallas_mxu)
+
+
+# ------------------------------------------------- swapped-loop variant
+
+def _corr_kernel_swapped(fm2p_hbm, fm1_ref, out_ref, scratch, rot_ref, sem, *,
+                         H_tile, W, r, scale):
+    """dx outer/static: the lane-rotation happens once per dx (11 slab copies
+    into rot_ref) instead of once per (dx, dy) pair (121 rotations); the dy
+    loop then dynamic-slices rot_ref on its untiled dim 0 (allowed)."""
+    d = 2 * r + 1
+    b = pl.program_id(0)
+    ht = pl.program_id(1)
+
+    dma = pltpu.make_async_copy(
+        fm2p_hbm.at[b, pl.ds(ht * H_tile, H_tile + 2 * r), :, :],
+        scratch, sem)
+    dma.start()
+    fm1 = fm1_ref[0]
+    dma.wait()
+
+    for dx in range(d):                     # static; rotate ONCE per dx
+        rot_ref[...] = scratch[:, dx:dx + W, :]     # (H_tile+2r, W, C)
+
+        def body(dy, _):
+            sub = rot_ref[pl.ds(dy, H_tile)]        # untiled-dim slice: free
+            acc = jnp.sum((fm1 * sub).astype(jnp.float32), axis=-1) * scale
+            out_ref[0, dx * d + dy, :, :] = acc
+            return 0
+
+        jax.lax.fori_loop(0, d, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("r", "h_tile"))
+def corr_swapped(fm1, fm2, r: int, h_tile: int = 16):
+    B, H, W, C = fm1.shape
+    d = 2 * r + 1
+    scale = float(1.0 / np.sqrt(float(C)))
+    h_tile = min(h_tile, H)
+    if H % h_tile != 0:
+        h_tile = H
+    n_htiles = H // h_tile
+    Wp = -(-(W + 2 * r) // 8) * 8
+    fm2p = jnp.pad(fm2, ((0, 0), (r, r), (r, Wp - W - r), (0, 0)))
+    kernel = functools.partial(_corr_kernel_swapped, H_tile=h_tile, W=W, r=r,
+                               scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, d * d, H, W), jnp.float32),
+        grid=(B, n_htiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, h_tile, W, C), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, d * d, h_tile, W), lambda b, h: (b, 0, h, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((h_tile + 2 * r, Wp, C), fm2.dtype),
+            pltpu.VMEM((h_tile + 2 * r, W, C), fm2.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(fm2p, fm1)
+    return jnp.transpose(out, (0, 2, 3, 1)).astype(fm1.dtype)
+
+
+# --------------------------------------------------------------- timing
+
+def timeit(fn, *args, n=20):
+    """Time n in-graph iterations under ONE jit: the axon tunnel costs ~26ms
+    per dispatch (see .claude/skills/verify), so standalone per-call timing
+    inverts rankings. The loop carries a data dependency through the first
+    input so XLA cannot hoist the call."""
+
+    @jax.jit
+    def looped(a0, *rest):
+        def body(_, a):
+            out = fn(a, *rest)
+            # fold the output back into the input (same shape not guaranteed:
+            # reduce to a scalar perturbation instead)
+            eps = (jnp.float32(1e-12) * out.astype(jnp.float32).mean())
+            return (a.astype(jnp.float32) + eps).astype(a.dtype)
+
+        return jax.lax.fori_loop(0, n, body, a0)
+
+    jax.block_until_ready(looped(args[0], *args[1:]))   # compile
+    t0 = time.perf_counter()
+    jax.block_until_ready(looped(args[0], *args[1:]))
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    B, H, W, C, r = 32, 64, 64, 256, 5
+    rng = np.random.RandomState(0)
+    fm1 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    fm2 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    fm1h = fm1.astype(jnp.bfloat16)
+    fm2h = fm2.astype(jnp.bfloat16)
+
+    ref = np.asarray(local_correlation(fm1, fm2, r))
+
+    rows = []
+
+    def check_and_time(name, fn, *args, atol=2e-2):
+        try:
+            out = np.asarray(jax.block_until_ready(fn(*args)))
+            err = np.max(np.abs(out.astype(np.float32) - ref))
+            dt = timeit(fn, *args)
+            rows.append((name, dt * 1e3, err))
+            print(f"{name:38s} {dt * 1e3:8.3f} ms   maxerr {err:.2e}", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:38s} FAILED: {type(e).__name__}: {e}", flush=True)
+
+    check_and_time("xla f32", jax.jit(functools.partial(local_correlation, r=r)), fm1, fm2)
+    for ht in (8, 16, 32):
+        check_and_time(f"pallas f32 ht={ht}",
+                       functools.partial(local_correlation_pallas, r=r, h_tile=ht),
+                       fm1, fm2)
+    for ht in (8, 16, 32):
+        check_and_time(f"pallas-swapped f32 ht={ht}",
+                       functools.partial(corr_swapped, r=r, h_tile=ht),
+                       fm1, fm2)
+    for ht in (8, 16):
+        check_and_time(f"pallas-mxu f32 ht={ht}",
+                       functools.partial(local_correlation_pallas_mxu, r=r, h_tile=ht),
+                       fm1, fm2)
+    check_and_time("pallas bf16 ht=16",
+                   functools.partial(local_correlation_pallas, r=r, h_tile=16),
+                   fm1h, fm2h)
+    check_and_time("pallas-swapped bf16 ht=16",
+                   functools.partial(corr_swapped, r=r, h_tile=16),
+                   fm1h, fm2h)
+    check_and_time("pallas-mxu bf16 ht=16",
+                   functools.partial(local_correlation_pallas_mxu, r=r, h_tile=16),
+                   fm1h, fm2h)
+    check_and_time("xla-mxu f32", jax.jit(functools.partial(local_correlation_mxu, r=r)),
+                   fm1, fm2)
+
+    best = min(rows, key=lambda t: t[1])
+    print(f"\nbest: {best[0]} at {best[1]:.3f} ms")
+
+
+if __name__ == "__main__":
+    main()

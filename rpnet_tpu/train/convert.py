@@ -187,6 +187,133 @@ def convert_state_dict(state_dict: Dict[str, Any], reference_variables=None):
     return out
 
 
+# --------------------------------------------------------------- LGCA naming
+
+_LGCA_RES_INNER = {"conv1": "conv1", "conv2": "conv2", "shortcut.0": "shortcut"}
+
+
+def _lgca_module_path(torch_key: str):
+    """Map one LGCANet_V3 state_dict key → (flax path, kind).
+
+    kind ∈ {'conv2d', 'conv3d', 'bn'}; the path already contains the inner
+    'conv' segment for TorchConv-wrapped convs. Returns None for keys with no
+    counterpart: the dead ``forw4`` stage (defined but never called,
+    lgca_net_v3.py:79-82,97-113), the attention ``w_q``/``w_k`` linears
+    (params exist but their use is commented out, lgca_net_v3.py:285-293,
+    309-314), InstanceNorm3d (no params), and num_batches_tracked.
+    """
+    if torch_key.endswith("num_batches_tracked"):
+        return None
+
+    if torch_key.startswith("context_net."):
+        rest = torch_key[len("context_net."):]
+        if rest.startswith("preBlock.0."):
+            return ("context_net", "pre_conv1"), "conv3d"
+        if rest.startswith("preBlock.3."):
+            return ("context_net", "pre_conv2"), "conv3d"
+        m = re.match(r"forw([123])\.(\d)\.(conv1|conv2|shortcut\.0)\.", rest)
+        if m:
+            inner = _LGCA_RES_INNER[m.group(3)]
+            return ("context_net", f"forw{m.group(1)}_{m.group(2)}", inner), "conv3d"
+        if rest.startswith("dsv.1."):
+            return ("context_net", "dsv_conv"), "conv3d"
+        return None   # forw4 (dead), InstanceNorm has no params
+
+    if torch_key.startswith("unet."):
+        rest = torch_key[len("unet."):]
+        m = re.match(r"Conv(\d)\.conv\.(\d)\.", rest)
+        if m:
+            inner = _CONV_BLOCK.get(f"conv.{m.group(2)}")
+            if inner is None:
+                return None
+            if inner.startswith("conv"):
+                return ("unet", f"enc{m.group(1)}", inner, "conv"), "conv2d"
+            return ("unet", f"enc{m.group(1)}", inner, "bn"), "bn"
+        m = re.match(r"Up_conv(\d)\.conv\.(\d)\.", rest)
+        if m:
+            inner = _CONV_BLOCK.get(f"conv.{m.group(2)}")
+            if inner is None:
+                return None
+            if inner.startswith("conv"):
+                return ("unet", f"dec{m.group(1)}", inner, "conv"), "conv2d"
+            return ("unet", f"dec{m.group(1)}", inner, "bn"), "bn"
+        m = re.match(r"Up(\d)\.up\.(\d)\.", rest)
+        if m:
+            if m.group(2) == "1":
+                return ("unet", f"up{m.group(1)}", "conv", "conv"), "conv2d"
+            if m.group(2) == "2":
+                return ("unet", f"up{m.group(1)}", "norm", "bn"), "bn"
+            return None
+        m = re.match(r"Att(\d)\.(W_g|W_x|psi)\.(\d)\.", rest)
+        if m:
+            name = m.group(2).lower()
+            if m.group(3) == "0":
+                return ("unet", f"att{m.group(1)}", name, "conv"), "conv2d"
+            return ("unet", f"att{m.group(1)}", f"{name}_norm", "bn"), "bn"
+        m = re.match(r"self_attention(\d)\.att_layer_(\d)\.global_pooling_(2D|3D)\.0\.", rest)
+        if m:
+            conv = "pool2d_conv" if m.group(3) == "2D" else "pool3d_conv"
+            kind = "conv2d" if m.group(3) == "2D" else "conv3d"
+            return ("unet", f"self_attention{m.group(1)}",
+                    f"att_layer_{m.group(2)}", conv), kind
+        m = re.match(r"self_attention(\d)\.conv\.([01])\.", rest)
+        if m:
+            if m.group(2) == "0":
+                return ("unet", f"self_attention{m.group(1)}", "fuse_conv",
+                        "conv"), "conv2d"
+            return ("unet", f"self_attention{m.group(1)}", "fuse_norm",
+                    "bn"), "bn"
+        if rest.startswith("Conv_1x1."):
+            return ("unet", "final_conv", "conv"), "conv2d"
+        return None   # att_layer w_q/w_k (dead), Maxpool
+
+    return None
+
+
+def convert_lgca_state_dict(state_dict: Dict[str, Any]):
+    """LGCANet_V3 torch state_dict → flax {'params','batch_stats'} tree.
+
+    Covers the full reference model (lgca_net_v3.py:579-658): 3D FeatureNet
+    (OIDHW → DHWIO conv transpose), fused 2D U_Net / AttU_Net, multi-head
+    slice attention, dsv head. Dead submodules are reported in
+    ``_unmatched_keys`` (forw4, attention w_q/w_k).
+    """
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    unmatched = []
+    for key, val in state_dict.items():
+        arr = np.asarray(getattr(val, "numpy", lambda: val)())
+        mapped = _lgca_module_path(key)
+        if mapped is None:
+            unmatched.append(key)
+            continue
+        path, kind = mapped
+        tail = key.split(".")[-1]
+        if kind == "conv2d":
+            if tail == "weight":
+                _set_nested(params, path + ("kernel",), np.transpose(arr, (2, 3, 1, 0)))
+            else:
+                _set_nested(params, path + ("bias",), arr)
+        elif kind == "conv3d":
+            if tail == "weight":
+                _set_nested(params, path + ("kernel",),
+                            np.transpose(arr, (2, 3, 4, 1, 0)))
+            else:
+                _set_nested(params, path + ("bias",), arr)
+        elif kind == "bn":
+            if tail == "weight":
+                _set_nested(params, path + ("scale",), arr)
+            elif tail == "bias":
+                _set_nested(params, path + ("bias",), arr)
+            elif tail == "running_mean":
+                _set_nested(stats, path + ("mean",), arr)
+            elif tail == "running_var":
+                _set_nested(stats, path + ("var",), arr)
+            else:
+                unmatched.append(key)
+    return {"params": params, "batch_stats": stats, "_unmatched_keys": unmatched}
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, Any]:
     """Load a torch .pth checkpoint ({'epoch','state_dict','optimizer'})."""
     import torch
