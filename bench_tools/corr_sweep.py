@@ -140,33 +140,75 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"{name:38s} FAILED: {type(e).__name__}: {e}", flush=True)
 
-    check_and_time("xla f32", jax.jit(functools.partial(local_correlation, r=r)), fm1, fm2)
-    for ht in (8, 16, 32):
-        check_and_time(f"pallas f32 ht={ht}",
-                       functools.partial(local_correlation_pallas, r=r, h_tile=ht),
+    import os
+    if not os.environ.get("SWEEP_BWD_ONLY"):
+        check_and_time("xla f32", jax.jit(functools.partial(local_correlation, r=r)), fm1, fm2)
+        for ht in (8, 16, 32):
+            check_and_time(f"pallas f32 ht={ht}",
+                           functools.partial(local_correlation_pallas, r=r, h_tile=ht),
+                           fm1, fm2)
+        for ht in (8, 16, 32):
+            check_and_time(f"pallas-swapped f32 ht={ht}",
+                           functools.partial(corr_swapped, r=r, h_tile=ht),
+                           fm1, fm2)
+        for ht in (8, 16):
+            check_and_time(f"pallas-mxu f32 ht={ht}",
+                           functools.partial(local_correlation_pallas_mxu, r=r, h_tile=ht),
+                           fm1, fm2)
+        check_and_time("pallas bf16 ht=16",
+                       functools.partial(local_correlation_pallas, r=r, h_tile=16),
+                       fm1h, fm2h)
+        check_and_time("pallas-swapped bf16 ht=16",
+                       functools.partial(corr_swapped, r=r, h_tile=16),
+                       fm1h, fm2h)
+        check_and_time("pallas-mxu bf16 ht=16",
+                       functools.partial(local_correlation_pallas_mxu, r=r, h_tile=16),
+                       fm1h, fm2h)
+        check_and_time("xla-mxu f32", jax.jit(functools.partial(local_correlation_mxu, r=r)),
                        fm1, fm2)
-    for ht in (8, 16, 32):
-        check_and_time(f"pallas-swapped f32 ht={ht}",
-                       functools.partial(corr_swapped, r=r, h_tile=ht),
-                       fm1, fm2)
-    for ht in (8, 16):
-        check_and_time(f"pallas-mxu f32 ht={ht}",
-                       functools.partial(local_correlation_pallas_mxu, r=r, h_tile=ht),
-                       fm1, fm2)
-    check_and_time("pallas bf16 ht=16",
-                   functools.partial(local_correlation_pallas, r=r, h_tile=16),
-                   fm1h, fm2h)
-    check_and_time("pallas-swapped bf16 ht=16",
-                   functools.partial(corr_swapped, r=r, h_tile=16),
-                   fm1h, fm2h)
-    check_and_time("pallas-mxu bf16 ht=16",
-                   functools.partial(local_correlation_pallas_mxu, r=r, h_tile=16),
-                   fm1h, fm2h)
-    check_and_time("xla-mxu f32", jax.jit(functools.partial(local_correlation_mxu, r=r)),
-                   fm1, fm2)
 
-    best = min(rows, key=lambda t: t[1])
-    print(f"\nbest: {best[0]} at {best[1]:.3f} ms")
+        best = min(rows, key=lambda t: t[1])
+        print(f"\nbest fwd: {best[0]} at {best[1]:.3f} ms")
+
+    # ------------------------------------------------------------- backward
+    from rpnet_tpu.ops.correlation import local_correlation_mxu_bwd
+    from rpnet_tpu.ops.pallas.correlation import (_corr_bwd,
+                                                  local_correlation_pallas_bwd)
+
+    g = jnp.asarray(rng.randn(B, H, W, (2 * r + 1) ** 2).astype(np.float32))
+    refs = _corr_bwd(r, (fm1, fm2), g)
+    ref1, ref2 = np.asarray(refs[0]), np.asarray(refs[1])
+
+    def check_bwd(name, fn):
+        try:
+            o1, o2 = jax.block_until_ready(fn(g, fm1, fm2))
+            err = max(np.max(np.abs(np.asarray(o1) - ref1)),
+                      np.max(np.abs(np.asarray(o2) - ref2)))
+
+            @jax.jit
+            def looped(gg, a1, a2):
+                def body(_, a):
+                    o1, o2 = fn(a, a1, a2)
+                    eps = jnp.float32(1e-12) * (o1.astype(jnp.float32).mean()
+                                                + o2.astype(jnp.float32).mean())
+                    return (a.astype(jnp.float32) + eps).astype(a.dtype)
+                return jax.lax.fori_loop(0, 20, body, gg)
+
+            jax.block_until_ready(looped(g, fm1, fm2))
+            t0 = time.perf_counter()
+            jax.block_until_ready(looped(g, fm1, fm2))
+            dt = (time.perf_counter() - t0) / 20
+            print(f"bwd {name:34s} {dt * 1e3:8.3f} ms   maxerr {err:.2e}",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"bwd {name:34s} FAILED: {type(e).__name__}: {e}", flush=True)
+
+    check_bwd("xla shifted", lambda gg, a, b: _corr_bwd(r, (a, b), gg))
+    for ht in (8, 16):
+        check_bwd(f"pallas ht={ht}",
+                  functools.partial(local_correlation_pallas_bwd, r=r, h_tile=ht))
+    check_bwd("xla-mxu banded",
+              functools.partial(local_correlation_mxu_bwd, r=r))
 
 
 if __name__ == "__main__":

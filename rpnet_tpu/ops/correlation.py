@@ -88,6 +88,58 @@ def local_correlation_mxu(fm1, fm2, r: int, precision=None):
     return out.reshape(B, H, W, d * d) * scale
 
 
+def local_correlation_mxu_bwd(g, fm1, fm2, r: int, precision=None):
+    """MXU formulation of BOTH local-correlation input grads.
+
+    Same banded-matmul trick as :func:`local_correlation_mxu`, applied to the
+    backward (which has the identical local-shift structure — see
+    ops/pallas/correlation.py::_corr_bwd_kernel):
+
+      dfm1[p, c] = Σ_{dy,dx} g[p, ch(dx,dy)] · fm2p[p + (dy,dx), c]
+      dfm2[q, c] = Σ_{dy,dx} g[q + (r-dy, r-dx), ch] · fm1[q + (r-dy, r-dx), c]
+
+    Per vertical shift dy each grad is two einsums: a banded gather of the
+    d_dx gradient channels into the (W, V) band, then a (W×V)@(V×C) contraction
+    on the systolic array — replacing ~242 shifted full-HBM elementwise passes.
+    """
+    B, H, W, C = fm1.shape
+    d = 2 * r + 1
+    V = W + 2 * r
+    scale = jnp.asarray(1.0 / np.sqrt(float(C)), fm1.dtype)
+    g = g.reshape(B, H, W, d, d)                       # (..., dx, dy)
+
+    # ---- dfm1: band M[dx, w, v] = 1 iff v == w + dx (forward band) ----
+    band1 = (np.arange(V)[None, None, :]
+             == (np.arange(W)[None, :, None] + np.arange(d)[:, None, None]))
+    M1 = jnp.asarray(band1, dtype=fm1.dtype)
+    fm2p = jnp.pad(fm2, ((0, 0), (r, r), (r, r), (0, 0)))
+    dfm1 = jnp.zeros_like(fm1)
+    for dy in range(d):
+        rows = jax.lax.slice_in_dim(fm2p, dy, dy + H, axis=1)      # (B, H, V, C)
+        gb = jnp.einsum("bhwx,xwv->bhwv", g[..., dy], M1,
+                        precision=precision)
+        dfm1 = dfm1 + jnp.einsum("bhwv,bhvc->bhwc", gb, rows,
+                                 precision=precision)
+
+    # ---- dfm2: gathered form, rows/cols of g and fm1 padded r each side ----
+    # dfm2[b,y,x,c] = Σ_{dy,dx} gp[b, y+2r-dy, x+2r-dx, ch] · fm1p[b, same, c]
+    band2 = (np.arange(V)[None, None, :]
+             == (np.arange(W)[None, :, None]
+                 + (2 * r - np.arange(d))[:, None, None]))
+    M2 = jnp.asarray(band2, dtype=fm1.dtype)           # (d, W, V): u = x+2r-dx
+    gp = jnp.pad(g, ((0, 0), (r, r), (r, r), (0, 0), (0, 0)))
+    fm1p = jnp.pad(fm1, ((0, 0), (r, r), (r, r), (0, 0)))
+    dfm2 = jnp.zeros_like(fm2)
+    for dy in range(d):
+        rows_g = jax.lax.slice_in_dim(gp, 2 * r - dy, 2 * r - dy + H, axis=1)
+        rows_f = jax.lax.slice_in_dim(fm1p, 2 * r - dy, 2 * r - dy + H, axis=1)
+        gb = jnp.einsum("bhux,xwu->bhwu", rows_g[..., dy], M2,
+                        precision=precision)           # (B, H, W, V)
+        dfm2 = dfm2 + jnp.einsum("bhwu,bhuc->bhwc", gb, rows_f,
+                                 precision=precision)
+    return dfm1 * scale, dfm2 * scale
+
+
 def correlation_exact(fm1, fm2, r: int):
     """Reference formulation: full (H'W')² matrix + bilinear window sampling.
 

@@ -424,10 +424,18 @@ def pallas_correlation_trainable(r: int, interpret: bool = False):
     def f_bwd(res, g):
         import os
 
+        from rpnet_tpu.ops.correlation import local_correlation_mxu_bwd
+
         fm1, fm2 = res
         impl = os.environ.get("RPNET_CORR_BWD")
         on_tpu = jax.default_backend() == "tpu"
-        if impl == "pallas" or (impl is None and (on_tpu or interpret)):
+        if impl == "mxu" or (impl is None and on_tpu):
+            # banded-matmul backward (ops/correlation.py): both grads as
+            # per-dy MXU contractions. Measured at the eval CRE shape
+            # (32×64²×256, r=5, v5e): 13.8 ms vs 23.0 ms Pallas vs 227 ms
+            # shifted-XLA (bench_tools/corr_sweep.py).
+            return local_correlation_mxu_bwd(g, fm1, fm2, r)
+        if impl == "pallas" or (impl is None and interpret):
             # Pallas backward: one pass per tile instead of ~242 shifted
             # full-HBM XLA ops (the custom_vmap rule folds episode axes into
             # the kernel batch grid, mirroring the forward)

@@ -308,3 +308,22 @@ def test_pallas_backward_kernel_matches_analytic(rng):
                                           interpret=True)
     np.testing.assert_allclose(np.asarray(k1), np.asarray(ref1), atol=2e-5)
     np.testing.assert_allclose(np.asarray(k2), np.asarray(ref2), atol=2e-5)
+
+
+def test_mxu_banded_backward_matches_autodiff(rng):
+    """local_correlation_mxu_bwd ≡ grad of local_correlation for both inputs
+    (the banded-matmul backward formulation, ops/correlation.py)."""
+    import jax
+
+    from rpnet_tpu.ops.correlation import local_correlation_mxu_bwd
+
+    B, H, W, C, r = 2, 16, 12, 8, 2
+    a = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    b = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    g = jnp.asarray(rng.randn(B, H, W, (2 * r + 1) ** 2).astype(np.float32))
+
+    d1, d2 = jax.grad(lambda x, y: jnp.sum(local_correlation(x, y, r) * g),
+                      argnums=(0, 1))(a, b)
+    m1, m2 = local_correlation_mxu_bwd(g, a, b, r, precision="highest")
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(d1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(d2), atol=1e-5)
