@@ -12,6 +12,7 @@ Variants:
 """
 
 import functools
+import os
 import sys
 import time
 
@@ -20,7 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu

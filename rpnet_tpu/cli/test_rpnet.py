@@ -71,7 +71,8 @@ def build_model_and_runner(config: Config, seed: int = 0):
     if ckpt:
         print(f"[Loading model from {ckpt}]")
         from rpnet_tpu.train.checkpoint import restore_into
-        variables, start_epoch = restore_into(variables, ckpt)
+        variables, start_epoch = restore_into(variables, ckpt,
+                                              model_name=config.get("net", "RP_Net"))
 
     # multi-chip: shard the query-slice axis over the mesh's data axis
     # (mesh_shape: {data: N} in the YAML, or automatic when >1 device)
@@ -112,12 +113,22 @@ def evaluate(runner: EpisodeRunner, sampler: EpisodeSampler, config: Config):
     pidx = jax.process_index()
     my_idxs = list(range(pidx, n_eps, pcount)) if pcount > 1 else list(range(n_eps))
 
+    # NB: per-episode isolation must survive DATA-stage failures too — a
+    # plain generator would close on the first raise, turning every later
+    # next() into StopIteration (all remaining episodes silently skipped)
     if config.get("num_workers", 0) and pcount == 1:
-        from rpnet_tpu.episode.prefetch import PrefetchingSampler
+        from rpnet_tpu.episode.prefetch import EpisodeFailure, PrefetchingSampler
         iterator = iter(PrefetchingSampler(
             sampler, lookahead=2, workers=int(config["num_workers"])))
+
+        def fetch(j):
+            ep = next(iterator)
+            if isinstance(ep, EpisodeFailure):
+                raise ep.exc
+            return ep
     else:
-        iterator = (sampler.sample(j) for j in my_idxs)
+        def fetch(j):
+            return sampler.sample(j)
 
     # per-episode record arrays (NaN = not mine / failed / empty-GT) so the
     # multi-host merge is a plain elementwise combine
@@ -130,7 +141,7 @@ def evaluate(runner: EpisodeRunner, sampler: EpisodeSampler, config: Config):
     for j in my_idxs:
         try:
             with timer.stage("data"):
-                ep = next(iterator)
+                ep = fetch(j)
             with timer.stage("episode_compute"):
                 res = runner.run(ep)
         except Exception:
@@ -260,7 +271,8 @@ def eval_lgca(config, out_dir):
                  "batch_stats": state["batch_stats"]}
     if config.get("ckpt"):
         from rpnet_tpu.train.checkpoint import restore_into
-        variables, _ = restore_into(variables, config["ckpt"])
+        variables, _ = restore_into(variables, config["ckpt"],
+                                    model_name="LGCANet_V3")
 
     rois = list(config["roi_names"])
     per_class = defaultdict(list)

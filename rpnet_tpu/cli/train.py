@@ -89,7 +89,7 @@ def train_lgca(config, args, out_dir):
     if config.get("ckpt"):
         variables, start_epoch = restore_into(
             {"params": state["params"], "batch_stats": state["batch_stats"]},
-            config["ckpt"])
+            config["ckpt"], model_name="LGCANet_V3")
         state["params"] = variables["params"]
         state["batch_stats"] = variables["batch_stats"]
 
@@ -171,7 +171,7 @@ def main(argv=None):
         from rpnet_tpu.train.checkpoint import restore_opt_state
         variables, start_epoch = restore_into(
             {"params": state["params"], "batch_stats": state["batch_stats"]},
-            config["ckpt"])
+            config["ckpt"], model_name=config.get("net", "RP_Net"))
         state["params"] = variables["params"]
         state["batch_stats"] = variables["batch_stats"]
         # resume Adam moments + schedule step when the checkpoint has them

@@ -21,6 +21,20 @@ from typing import Iterator
 from rpnet_tpu.episode.sampler import Episode, EpisodeSampler
 
 
+class EpisodeFailure:
+    """Sentinel yielded in place of an episode whose assembly raised.
+
+    A raised exception would CLOSE the iterator generator — every later
+    episode would then look failed to the caller (the eval fault-isolation
+    contract, SURVEY §5, requires one bad volume to cost exactly one
+    episode). Callers unwrap: ``if isinstance(ep, EpisodeFailure): raise
+    ep.exc``.
+    """
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class PrefetchingSampler:
     """Iterate episodes with lookahead.
 
@@ -59,7 +73,10 @@ class PrefetchingSampler:
                 if upto < n:
                     submit(upto)
                     upto += 1
-                yield fut.result()
+                try:
+                    yield fut.result()
+                except Exception as e:   # noqa: BLE001 — keep the stream alive
+                    yield EpisodeFailure(e)
 
     def _assemble(self, idx: int, picks) -> Episode:
         s = self.sampler

@@ -223,6 +223,12 @@ def make_seg_loss(name: str):
     difference). GHM losses get an all-ones validity weight (every pixel is
     labeled in this pipeline).
     """
+    if name not in LOSS_REGISTRY and name is not None:
+        # unknown name → graceful dice_ce fallback with the NATIVE softmax
+        # contract (wrapping the fallback in the binary adapter below would
+        # crash at trace time on the (N,1) score shapes)
+        print(f"[loss {name!r} unknown — falling back to dice_ce]")
+        return dice_ce
     fn = LOSS_REGISTRY.get(name, dice_ce)
     if name in ("dice_ce", "dice_softmax", None):
         return fn

@@ -275,6 +275,8 @@ def local_correlation_pallas_bwd(g, fm1, fm2, r: int, h_tile: int = 8,
         h_tile = H
     n_htiles = H // h_tile
 
+    # ONE sublane-aligned padded width shared by the fm slabs and the g
+    # rows — the kernel's column arithmetic assumes identical layouts
     Wp = -(-(W + 2 * r) // 8) * 8
     fm1p = jnp.pad(fm1, ((0, 0), (r, r), (r, Wp - W - r), (0, 0)))
     fm2p = jnp.pad(fm2, ((0, 0), (r, r), (r, Wp - W - r), (0, 0)))
@@ -283,11 +285,10 @@ def local_correlation_pallas_bwd(g, fm1, fm2, r: int, h_tile: int = 8,
     # padded r each side (dfm2 reads padded row qy+2r−dy / col qx+2r−dx;
     # dfm1 reads the same array at row offset +r), d_dx padded to a full
     # 128-lane tile (DMA slice widths must be lane-aligned)
-    Wp2 = -(-(W + 2 * r) // 8) * 8
     g_dyM = jnp.transpose(g.reshape(B, H, W, d, d), (0, 4, 1, 2, 3))
-    gp5 = jnp.pad(g_dyM, ((0, 0), (0, 0), (r, r), (r, Wp2 - W - r),
+    gp5 = jnp.pad(g_dyM, ((0, 0), (0, 0), (r, r), (r, Wp - W - r),
                           (0, 128 - d)))
-    gp5 = gp5.reshape(B * d, H + 2 * r, Wp2, 128)
+    gp5 = gp5.reshape(B * d, H + 2 * r, Wp, 128)
 
     kernel = functools.partial(_corr_bwd_kernel, H_tile=h_tile, W=W, r=r,
                                scale=scale)
@@ -304,8 +305,8 @@ def local_correlation_pallas_bwd(g, fm1, fm2, r: int, h_tile: int = 8,
         scratch_shapes=[
             pltpu.VMEM((h_tile + 2 * r, Wp, C), fm1.dtype),
             pltpu.VMEM((h_tile + 2 * r, Wp, C), fm2.dtype),
-            pltpu.VMEM((h_tile, Wp2, 128), g.dtype),
-            pltpu.VMEM((h_tile, Wp2, 128), g.dtype),
+            pltpu.VMEM((h_tile, Wp, 128), g.dtype),
+            pltpu.VMEM((h_tile, Wp, 128), g.dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,

@@ -43,7 +43,10 @@ def maybe_initialize_distributed(config=None) -> bool:
     addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if not (want or addr):
         return False
-    if jax.process_count() > 1:
+    # NB: must not touch jax.process_count()/jax.devices() here — any such
+    # call initializes the XLA backend, after which distributed.initialize
+    # permanently fails ("must be called before any JAX calls")
+    if jax.distributed.is_initialized():
         return True   # already up
     kwargs = {}
     if config is not None:

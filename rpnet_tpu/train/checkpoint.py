@@ -82,14 +82,33 @@ def restore_opt_state(fresh_opt_state, path: str):
     import orbax.checkpoint as ocp
 
     ckptr = ocp.PyTreeCheckpointer()
-    probe = ckptr.restore(os.path.abspath(path))
-    if not (isinstance(probe, dict) and probe.get("opt_state") is not None):
+    # structure check via METADATA (no tensor reads) — a bare probe restore
+    # would read the whole checkpoint (params + moments) a second time
+    try:
+        meta = ckptr.metadata(os.path.abspath(path))
+        tree = getattr(getattr(meta, "item_metadata", meta), "tree", None)
+        has_opt = bool(tree) and tree.get("opt_state") is not None
+    except Exception:   # noqa: BLE001 — old layouts without metadata
+        has_opt = True  # fall through to the templated restore attempt
+    if not has_opt:
         return None
-    template = {"step": 0,
-                "variables": jax.tree_util.tree_map(np.asarray, probe["variables"]),
-                "opt_state": fresh_opt_state}
-    full = ckptr.restore(os.path.abspath(path), item=template)
-    return full["opt_state"]
+    try:
+        # partial restore: only the opt_state subtree is read from disk
+        item = {"opt_state": fresh_opt_state}
+        rargs = jax.tree_util.tree_map(lambda _: ocp.RestoreArgs(), item)
+        out = ckptr.restore(os.path.abspath(path), item=item, transforms={},
+                            restore_args=rargs)
+        return out["opt_state"]
+    except Exception:   # noqa: BLE001
+        # fallback: full templated restore (variables template from a probe)
+        probe = ckptr.restore(os.path.abspath(path))
+        if not (isinstance(probe, dict) and probe.get("opt_state") is not None):
+            return None
+        template = {"step": 0,
+                    "variables": jax.tree_util.tree_map(np.asarray, probe["variables"]),
+                    "opt_state": fresh_opt_state}
+        full = ckptr.restore(os.path.abspath(path), item=template)
+        return full["opt_state"]
 
 
 def restore_into(variables, path: str, model_name: str = "RP_Net"):
@@ -102,8 +121,23 @@ def restore_into(variables, path: str, model_name: str = "RP_Net"):
     if "variables" in ckpt:
         src = ckpt["variables"]
     elif "state_dict" in ckpt:
-        from rpnet_tpu.train.convert import convert_state_dict
-        src = convert_state_dict(ckpt["state_dict"], variables)
+        sd = ckpt["state_dict"]
+        # route to the model family's converter: LGCA state_dicts have a
+        # disjoint key namespace (context_net./unet.) — the RP_Net mapper
+        # would silently match NOTHING and leave the random init in place
+        is_lgca = ("LGCA" in (model_name or "")
+                   or any(k.startswith("context_net.") for k in sd))
+        if is_lgca:
+            from rpnet_tpu.train.convert import convert_lgca_state_dict
+            src = convert_lgca_state_dict(sd)
+        else:
+            from rpnet_tpu.train.convert import convert_state_dict
+            src = convert_state_dict(sd, variables)
+        matched = sum(1 for _ in jax.tree_util.tree_leaves(src["params"]))
+        if matched == 0:
+            raise ValueError(
+                f"torch checkpoint {path}: no keys converted for model "
+                f"{model_name!r} — wrong checkpoint/model pairing?")
     else:
         src = ckpt
     src = {k: v for k, v in src.items() if not k.startswith("_")}

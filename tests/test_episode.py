@@ -358,3 +358,70 @@ def test_collate_batch_pads_short_episodes():
     np.testing.assert_array_equal(qi[1][3], qi[1][1])
     # the full-length episode is untouched
     np.testing.assert_array_equal(qi[0], ep(4).query_images)
+
+
+def test_eval_fault_isolation_data_stage(synth, tmp_path):
+    """A DATA-stage failure (corrupt volume in sampler.sample) must cost
+    exactly ONE episode — a plain generator would close on the raise and turn
+    every later episode into StopIteration (all silently skipped)."""
+    import yaml as pyyaml
+
+    from rpnet_tpu.cli import test_rpnet as cli
+    from rpnet_tpu.episode.sampler import EpisodeSampler
+
+    cfg = small_config(synth, n_runs=1, out_dir=str(tmp_path / "outd"),
+                       num_workers=0)   # direct path (prefetch tested apart)
+    ypath = str(tmp_path / "cfgd.yml")
+    with open(ypath, "w") as f:
+        pyyaml.safe_dump(cfg.to_dict(), f)
+
+    calls = {"n": 0}
+    real_sample = EpisodeSampler.sample
+
+    def flaky_sample(self, j):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected corrupt volume")
+        return real_sample(self, j)
+
+    EpisodeSampler.sample = flaky_sample
+    try:
+        results = cli.main(["--yaml", ypath])
+    finally:
+        EpisodeSampler.sample = real_sample
+
+    assert results is not None
+    assert results["failed_episodes"] == 1
+    assert calls["n"] == 3           # every later episode still attempted
+    assert "Liver" in results["classes"]
+
+
+def test_prefetch_survives_failing_episode(synth):
+    """PrefetchingSampler yields an EpisodeFailure sentinel for a bad episode
+    instead of closing the stream."""
+    from rpnet_tpu.config import Config
+    from rpnet_tpu.episode.prefetch import EpisodeFailure, PrefetchingSampler
+    from rpnet_tpu.episode.sampler import EpisodeSampler
+
+    cfg = small_config(synth, n_runs=1, out_dir="/tmp/unused_pf")
+    sampler = EpisodeSampler(cfg["data_dir"], cfg["eval_set_name"],
+                             Config(cfg.to_dict()), mode="eval")
+    n = len(sampler)
+    assert n >= 2
+
+    real = PrefetchingSampler._assemble
+    state = {"n": 0}
+
+    def flaky(self, idx, picks):
+        state["n"] += 1
+        if state["n"] == 1:
+            raise RuntimeError("bad NRRD")
+        return real(self, idx, picks)
+
+    PrefetchingSampler._assemble = flaky
+    try:
+        out = list(PrefetchingSampler(sampler, lookahead=2, workers=2))
+    finally:
+        PrefetchingSampler._assemble = real
+    assert len(out) == n
+    assert sum(isinstance(o, EpisodeFailure) for o in out) == 1

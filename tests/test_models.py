@@ -203,3 +203,17 @@ def test_vgg_feature_stride(rng):
     mod = VGGEncoder()
     v = mod.init(jax.random.PRNGKey(0), x)
     assert mod.apply(v, x)["d4"].shape == (1, 8, 8, 512)
+
+
+def test_make_seg_loss_unknown_name_falls_back(rng):
+    """An unrecognized YAML loss name degrades to dice_ce with the native
+    softmax contract instead of crashing in the binary adapter."""
+    import jax.numpy as jnp
+
+    from rpnet_tpu.models.losses import dice_ce, make_seg_loss
+
+    logits = jnp.asarray(rng.randn(2, 8, 8, 2).astype(np.float32))
+    labels = jnp.asarray((rng.rand(2, 8, 8) > 0.5).astype(np.int32))
+    fn = make_seg_loss("Dice_CE_typo")
+    np.testing.assert_allclose(float(fn(logits, labels)),
+                               float(dice_ce(logits, labels)), rtol=1e-6)
