@@ -227,10 +227,20 @@ def evaluate_3d(runner, sampler, config):
     eval_classes = config["eval_classes"]
     vrunner = Volume3DRunner(runner, overlap=int(config.get("overlap_3d", 8)))
     vsampler = Volume3DSampler(sampler)
-    dsc_affine_list = defaultdict(list)
-    dsc_fewshot_list = defaultdict(list)
+    n_vols = len(vsampler)
+
+    # multi-host: strided volume shard + allgather merge (same record-array
+    # scheme as evaluate())
+    pcount = jax.process_count()
+    pidx = jax.process_index()
+    my_idxs = (list(range(pidx, n_vols, pcount)) if pcount > 1
+               else list(range(n_vols)))
+
+    rec_cls = np.full(n_vols, -1, np.int32)
+    rec_aff = np.full(n_vols, np.nan, np.float64)
+    rec_few = np.full(n_vols, np.nan, np.float64)
     failures = 0
-    for j in range(len(vsampler)):
+    for j in my_idxs:
         try:
             supp_img, supp_lab, qry_img, qry_lab, meta = vsampler.sample(j)
             res = vrunner.run_volume(supp_img, supp_lab, qry_img, qry_lab)
@@ -241,8 +251,35 @@ def evaluate_3d(runner, sampler, config):
         cls = eval_classes[meta["class_id"]]
         print(f"{j} {meta['pid']} {meta['supp_pid']} affine {res.dsc_affine}, "
               f"fewshot {res.dsc_fewshot} ({res.n_windows} windows)")
-        dsc_affine_list[cls].append(res.dsc_affine)
-        dsc_fewshot_list[cls].append(res.dsc_fewshot)
+        rec_cls[j] = meta["class_id"]
+        if res.dsc_affine is not None:
+            rec_aff[j] = res.dsc_affine
+        if res.dsc_fewshot is not None:
+            rec_few[j] = res.dsc_fewshot
+
+    if pcount > 1:
+        from jax.experimental import multihost_utils
+
+        def merge(a):
+            g = np.asarray(multihost_utils.process_allgather(a))
+            if a.dtype == np.int32:
+                return g.max(axis=0)
+            with np.errstate(all="ignore"):
+                return np.nanmax(g, axis=0)
+        rec_cls, rec_aff, rec_few = map(merge, (rec_cls, rec_aff, rec_few))
+        failures = int(np.sum(np.asarray(
+            multihost_utils.process_allgather(np.asarray(failures)))))
+
+    dsc_affine_list = defaultdict(list)
+    dsc_fewshot_list = defaultdict(list)
+    for j in range(n_vols):
+        if rec_cls[j] < 0:
+            continue
+        cls = eval_classes[int(rec_cls[j])]
+        if np.isfinite(rec_aff[j]):
+            dsc_affine_list[cls].append(float(rec_aff[j]))
+        if np.isfinite(rec_few[j]):
+            dsc_fewshot_list[cls].append(float(rec_few[j]))
 
     for cls in eval_classes:
         aff = [d for d in dsc_affine_list[cls] if d is not None]

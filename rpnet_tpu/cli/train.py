@@ -87,11 +87,20 @@ def train_lgca(config, args, out_dir):
                             optimizer=optimizer)
     start_epoch = 0
     if config.get("ckpt"):
+        from rpnet_tpu.train.checkpoint import restore_opt_state
+        from rpnet_tpu.train.trainer import fast_forward_opt_state
         variables, start_epoch = restore_into(
             {"params": state["params"], "batch_stats": state["batch_stats"]},
             config["ckpt"], model_name="LGCANet_V3")
         state["params"] = variables["params"]
         state["batch_stats"] = variables["batch_stats"]
+        restored_opt = restore_opt_state(state["opt_state"], config["ckpt"])
+        if restored_opt is not None:
+            state["opt_state"] = restored_opt
+        elif start_epoch > 0:   # torch .pth: resume the schedule position
+            state["opt_state"] = fast_forward_opt_state(
+                state["opt_state"], start_epoch * steps_per_epoch)
+        state["step"] = np.int32(start_epoch * steps_per_epoch)
 
     step = jax.jit(make_lgca_train_step(model, config, optimizer))
     rng = np.random.RandomState(seed)
@@ -111,9 +120,11 @@ def train_lgca(config, args, out_dir):
         print(f"epoch {epoch} loss {np.mean(losses):.4f} "
               f"({steps_per_epoch / max(wall, 1e-9):.2f} volumes/s)")
         if (epoch + 1) % epoch_save == 0:
+            # step = COMPLETED epochs (epoch+1): a resume starts at the NEXT
+            # epoch instead of re-training the one just saved
             save_checkpoint(os.path.join(model_dir, f"epoch_{epoch:03d}"),
-                            epoch, {"params": state["params"],
-                                    "batch_stats": state["batch_stats"]},
+                            epoch + 1, {"params": state["params"],
+                                        "batch_stats": state["batch_stats"]},
                             state["opt_state"])
     return state
 
@@ -179,7 +190,11 @@ def main(argv=None):
         restored_opt = restore_opt_state(state["opt_state"], config["ckpt"])
         if restored_opt is not None:
             state["opt_state"] = restored_opt
-            state["step"] = np.int32(start_epoch * steps_per_epoch)
+        elif start_epoch > 0:   # torch .pth: resume the schedule position
+            from rpnet_tpu.train.trainer import fast_forward_opt_state
+            state["opt_state"] = fast_forward_opt_state(
+                state["opt_state"], start_epoch * steps_per_epoch)
+        state["step"] = np.int32(start_epoch * steps_per_epoch)
 
     # AOT compile (one compile total — plain jit recompiles on step 2 because
     # output param layouts re-key the cache; utils/device.aot_compile_step)
@@ -218,9 +233,10 @@ def main(argv=None):
         if writer is not None:
             writer.add_scalar("train/loss", mean_loss, epoch)
         if (epoch + 1) % epoch_save == 0:
+            # step = COMPLETED epochs (epoch+1); see train_lgca note
             save_checkpoint(os.path.join(model_dir, f"epoch_{epoch:03d}"),
-                            epoch, {"params": state["params"],
-                                    "batch_stats": state["batch_stats"]},
+                            epoch + 1, {"params": state["params"],
+                                        "batch_stats": state["batch_stats"]},
                             state["opt_state"])
     if writer is not None:
         writer.close()

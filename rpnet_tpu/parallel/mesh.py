@@ -60,9 +60,18 @@ def maybe_initialize_distributed(config=None) -> bool:
     try:
         jax.distributed.initialize(**kwargs)
         return True
-    except Exception as e:    # single-process launch with the toggle set
-        print(f"[multihost init skipped: {e}]")
-        return False
+    except Exception as e:
+        # an EXPLICIT multihost request that fails must be fatal — N hosts
+        # silently degrading into N independent single-process runs train
+        # divergent models into the same out_dir. RPNET_MULTIHOST_OPTIONAL=1
+        # restores the old degrade-and-continue behavior (single-machine
+        # experiments with a stale env var).
+        if os.environ.get("RPNET_MULTIHOST_OPTIONAL"):
+            print(f"[multihost init skipped: {e}]")
+            return False
+        raise RuntimeError(
+            f"multihost init requested ({'multihost: true' if want else 'JAX_COORDINATOR_ADDRESS'}) "
+            f"but jax.distributed.initialize failed: {e}") from e
 
 
 def make_mesh(shape: Optional[Dict[str, int]] = None, devices=None) -> Mesh:

@@ -91,9 +91,14 @@ def write_class_csvs(save_dir: str, csv_dir: str,
                      roi_names: Sequence[str] = ABD110_ROI_NAMES):
     """Per-organ z-range CSVs (pid,z_start,z_end,path) — the output of the
     reference's absent notebook, consumed by the episodic reader
-    (few_shot_reader.py:352-371)."""
+    (few_shot_reader.py:352-371).
+
+    Pids come from the ``{pid}_clean.nrrd`` stems verbatim, so pids may
+    contain underscores (brain datasets like ``sub_01``) — never derived by
+    splitting on '_'.
+    """
     os.makedirs(csv_dir, exist_ok=True)
-    pids = sorted({f.split("_")[0] for f in os.listdir(save_dir)
+    pids = sorted({f[: -len("_clean.nrrd")] for f in os.listdir(save_dir)
                    if f.endswith("_clean.nrrd")})
     for roi in roi_names:
         rows: List[str] = ["pid,z_start,z_end,path"]

@@ -33,11 +33,16 @@ def discover(data_dir: str) -> Tuple[List[str], List[str]]:
     for f in os.listdir(data_dir):
         if f.endswith("_clean.nrrd"):
             pids.add(f[: -len("_clean.nrrd")])
+    # LONGEST-prefix match, iterated in deterministic (length-desc, lexical)
+    # order: with pids 'case1' and 'case1_followup', mask
+    # 'case1_followup_liver.nrrd' must resolve to roi 'liver', identically
+    # on every run (a set-ordered first match was nondeterministic)
+    by_len = sorted(pids, key=lambda p: (-len(p), p))
     for f in os.listdir(data_dir):
         if f.endswith(".nrrd") and not f.endswith("_clean.nrrd") \
                 and not f.endswith("_masks.nrrd"):
             stem = f[: -len(".nrrd")]
-            for pid in pids:
+            for pid in by_len:
                 if stem.startswith(pid + "_"):
                     rois.add(stem[len(pid) + 1:])
                     break

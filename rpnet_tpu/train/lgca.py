@@ -11,6 +11,7 @@ fused U-Net over a slice batch, per-class 2D+3D dice loss
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Tuple
 
 import jax
@@ -65,6 +66,21 @@ def init_lgca_state(model: LGCANetV3, config, rng, sampler, optimizer=None):
             "opt_state": optimizer.init(variables["params"])}
 
 
+@functools.lru_cache(maxsize=None)
+def _lgca_eval_fwd(model: LGCANetV3):
+    """One jitted eval forward per model config (flax Modules are frozen
+    dataclasses → hashable). Defining the @jax.jit inside the per-volume
+    function created a fresh function object every call — a full retrace
+    (and compile/cache-load) per volume of the eval loop."""
+
+    @jax.jit
+    def fwd(variables, vol, sl):
+        out = model.apply(variables, vol, sl, train=False)
+        return jax.nn.sigmoid(out["seg_2d"])
+
+    return fwd
+
+
 def evaluate_lgca_volume(model: LGCANetV3, variables, sample,
                          chunk: int = 16) -> Dict[str, float]:
     """Whole-volume eval: sweep all z-slices in fixed-size chunks through one
@@ -76,17 +92,14 @@ def evaluate_lgca_volume(model: LGCANetV3, variables, sample,
     D = slices.shape[0]
     K = mask.shape[-1]
 
-    @jax.jit
-    def fwd(vol, sl):
-        out = model.apply(variables, vol, sl, train=False)
-        return jax.nn.sigmoid(out["seg_2d"])
+    fwd = _lgca_eval_fwd(model)
 
     preds = []
     for z0 in range(0, D, chunk):
         sl = slices[z0:z0 + chunk]
         if sl.shape[0] < chunk:                      # static-shape pad
             sl = np.pad(sl, ((0, chunk - sl.shape[0]), (0, 0), (0, 0), (0, 0)))
-        preds.append(np.asarray(fwd(volume, jnp.asarray(sl))))
+        preds.append(np.asarray(fwd(variables, volume, jnp.asarray(sl))))
     pred = np.concatenate(preds)[:D] > 0.5
 
     out: Dict[str, float] = {}

@@ -72,6 +72,27 @@ def make_optimizer(config, steps_per_epoch: int = 1):
     return base
 
 
+def fast_forward_opt_state(opt_state, n_updates: int):
+    """Set every ``count`` leaf (Adam bias correction + LR-schedule position)
+    of a FRESH opt_state to ``n_updates``.
+
+    Used when resuming from a checkpoint that carries no opt_state (reference
+    torch ``.pth`` files): without this the step-decay schedule restarts at
+    ``init_lr`` — after 48 epochs with ``scheduler_step: 30`` that is a 10×
+    too-high LR (torch ``StepLR(last_epoch=...)`` would resume decayed).
+    Moments stay zero (not recoverable), matching torch's behavior when only
+    a state_dict is loaded.
+    """
+    import jax.numpy as jnp
+
+    def fix(path, leaf):
+        if jax.tree_util.keystr(path).endswith("count"):
+            return jnp.asarray(n_updates, jnp.asarray(leaf).dtype)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(fix, opt_state)
+
+
 def make_train_step(model, config, optimizer) -> Callable:
     """Build the jittable per-batch train step.
 

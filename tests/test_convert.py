@@ -221,3 +221,25 @@ def test_restore_opt_state_roundtrip(tmp_path, rng):
     p2 = str(tmp_path / "no_opt")
     save_checkpoint(p2, 7, {"params": params})
     assert restore_opt_state(opt.init(params), p2) is None
+
+
+def test_fast_forward_opt_state_sets_counts(rng):
+    """fast_forward_opt_state moves every count leaf (Adam bias correction +
+    LR-schedule position) so a .pth resume continues the decayed LR."""
+    import optax
+
+    from rpnet_tpu.train.trainer import fast_forward_opt_state
+
+    params = {"w": np.ones((2, 2), np.float32)}
+    sched = optax.exponential_decay(1e-3, 10, 0.1, staircase=True)
+    opt = optax.adamw(sched)
+    st = fast_forward_opt_state(opt.init(params), 25)
+    counts = [np.asarray(leaf) for path, leaf
+              in jax.tree_util.tree_flatten_with_path(st)[0]
+              if jax.tree_util.keystr(path).endswith("count")]
+    assert counts and all(c == 25 for c in counts)
+    # the next update uses the decayed LR (25 updates = 2 staircase drops)
+    g = {"w": np.ones((2, 2), np.float32)}
+    updates, _ = opt.update(g, st, params)
+    # adam with fast-forwarded moments of 0: |update| ≈ lr at count drop
+    assert float(np.abs(np.asarray(updates["w"])).max()) < 1e-3 * 0.5

@@ -179,3 +179,35 @@ def test_make_splits_then_eval_cli(tmp_path):
     pyyaml.safe_dump(cfg, open(ypath, "w"))
     results = cli.main(["--yaml", ypath])
     assert results is not None and "Liver" in results["classes"]
+
+
+def test_make_splits_underscore_pids(tmp_path):
+    """Pids containing underscores (brain layout 'sub_01') must produce
+    non-empty class CSVs; ROI resolution uses longest-prefix matching and is
+    deterministic when one pid prefixes another."""
+    import numpy as np
+
+    from rpnet_tpu.core import nrrd_io
+    from rpnet_tpu.preprocess.make_splits import discover, make_splits
+
+    d = tmp_path / "data"
+    d.mkdir()
+    vol = np.zeros((4, 8, 8), np.float32)
+    m = np.zeros((4, 8, 8), np.uint8)
+    m[1:3, 2:5, 2:5] = 1
+    for pid in ("sub_01", "sub_01_followup", "sub_02"):
+        nrrd_io.write(str(d / f"{pid}_clean.nrrd"), vol)
+        nrrd_io.write(str(d / f"{pid}_liver.nrrd"), m)
+
+    pids, rois = discover(str(d))
+    assert pids == ["sub_01", "sub_01_followup", "sub_02"]
+    assert rois == ["liver"]          # NOT 'followup_liver'
+
+    out = tmp_path / "meta"
+    res = make_splits(str(d), str(out), test_frac=0.34, seed=0)
+    rows = open(out / "classes" / "liver.csv").read().strip().splitlines()
+    assert rows[0] == "pid,z_start,z_end,path"
+    got_pids = {r.split(",")[0] for r in rows[1:]}
+    assert got_pids == {"sub_01", "sub_01_followup", "sub_02"}
+    assert all(r.split(",")[1] == "1" and r.split(",")[2] == "2"
+               for r in rows[1:])
