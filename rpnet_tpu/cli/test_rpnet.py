@@ -75,13 +75,19 @@ def build_model_and_runner(config: Config, seed: int = 0):
                                               model_name=config.get("net", "RP_Net"))
 
     # multi-chip: shard the query-slice axis over the mesh's data axis
-    # (mesh_shape: {data: N} in the YAML, or automatic when >1 device)
+    # (mesh_shape: {data: N} in the YAML, or automatic when >1 device).
+    # Multi-PROCESS eval parallelizes across EPISODES (each process owns a
+    # strided shard, evaluate()'s allgather merge), so the slice-sharding
+    # mesh must span only this process's local devices — a global mesh would
+    # need multihost array assembly for host-local episode data.
     mesh = None
     mesh_shape = config.get("mesh_shape")
-    if mesh_shape or len(jax.devices()) > 1:
+    local = jax.local_devices()
+    if mesh_shape or len(local) > 1:
         from rpnet_tpu.parallel.mesh import make_mesh
-        mesh = make_mesh(dict(mesh_shape) if mesh_shape else None)
-        print(f"[mesh {dict(mesh.shape)} over {len(jax.devices())} devices]")
+        mesh = make_mesh(dict(mesh_shape) if mesh_shape else None,
+                         devices=local)
+        print(f"[mesh {dict(mesh.shape)} over {len(local)} local devices]")
     runner = EpisodeRunner(model, variables, config, mesh=mesh)
     return model, variables, runner, start_epoch
 
