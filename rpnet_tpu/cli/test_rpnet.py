@@ -66,6 +66,9 @@ def build_model_and_runner(config: Config, seed: int = 0):
         jnp.zeros((1, H, W), jnp.float32),
     )
     variables = init_on_host_cpu(model, jax.random.PRNGKey(seed), dummy)
+    if config.get("pretrained_path"):
+        from rpnet_tpu.train.checkpoint import apply_pretrained
+        variables = apply_pretrained(variables, config)
     start_epoch = 0
     ckpt = config.get("ckpt")
     if ckpt:

@@ -177,6 +177,12 @@ def main(argv=None):
     optimizer = make_optimizer(config, steps_per_epoch=steps_per_epoch)
     state = init_train_state(model, config, jax.random.PRNGKey(seed),
                              optimizer=optimizer)
+    if config.get("pretrained_path"):
+        from rpnet_tpu.train.checkpoint import apply_pretrained
+        warm = apply_pretrained({"params": state["params"],
+                                 "batch_stats": state["batch_stats"]}, config)
+        state["params"] = warm["params"]
+        state["batch_stats"] = warm["batch_stats"]
     start_epoch = 0
     if config.get("ckpt"):
         from rpnet_tpu.train.checkpoint import restore_opt_state

@@ -111,6 +111,36 @@ def restore_opt_state(fresh_opt_state, path: str):
         return full["opt_state"]
 
 
+def apply_pretrained(variables, config):
+    """Honor the YAML ``pretrained_path`` backbone warm start.
+
+    Reference semantics (net/rp_net.py:205-214): with the vgg backbone the
+    path is a torchvision VGG16 checkpoint loaded positionally into the
+    encoder (net/vgg.py:65-74); with the UNet backbone it is a full RP_Net
+    torch checkpoint overlaid onto the whole model. Returns (possibly
+    updated) variables.
+    """
+    path = config.get("pretrained_path") if hasattr(config, "get") else None
+    if not path:
+        return variables
+    backbone = config.get("backbone", "vgg")
+    if backbone == "vgg":
+        import torch
+
+        from rpnet_tpu.train.convert import convert_torchvision_vgg16
+
+        raw = torch.load(path, map_location="cpu", weights_only=False)
+        sd = raw.get("state_dict", raw) if isinstance(raw, dict) else raw
+        tree = convert_torchvision_vgg16(sd)
+        print(f"[vgg warm start from {path}]")
+        return {**variables,
+                "params": overlay(variables["params"], tree["params"])}
+    out, _ = restore_into(variables, path,
+                          model_name=config.get("net", "RP_Net"))
+    print(f"[{backbone} warm start from {path}]")
+    return out
+
+
 def restore_into(variables, path: str, model_name: str = "RP_Net"):
     """Overlay-restore a checkpoint into freshly-initialized variables.
 

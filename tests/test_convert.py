@@ -243,3 +243,39 @@ def test_fast_forward_opt_state_sets_counts(rng):
     updates, _ = opt.update(g, st, params)
     # adam with fast-forwarded moments of 0: |update| ≈ lr at count drop
     assert float(np.abs(np.asarray(updates["w"])).max()) < 1e-3 * 0.5
+
+
+def test_apply_pretrained_vgg_warm_start(tmp_path, rng):
+    """YAML `pretrained_path` + vgg backbone loads a torchvision VGG16
+    checkpoint positionally into the encoder (net/vgg.py:65-74 semantics)."""
+    import torch
+
+    from rpnet_tpu.config import Config
+    from rpnet_tpu.models.factory import model_factory
+    from rpnet_tpu.train.checkpoint import apply_pretrained
+
+    cfg = Config({"backbone": "vgg", "crop_size": [32, 32],
+                  "n_iter_refinement": 1,
+                  "mask_refinement_correlation_radius": 1, "scale": 8})
+    model = model_factory["RP_Net"](cfg, align=False, num_iter=1)
+    dummy = (jnp.zeros((1, 1, 1, 32, 32, 1)), jnp.zeros((1, 1, 1, 32, 32)),
+             jnp.ones((1, 1, 1, 32, 32)), jnp.zeros((1, 32, 32, 1)),
+             jnp.zeros((1, 32, 32)))
+    variables = model.init(jax.random.PRNGKey(0), *dummy, train=False)
+    variables = jax.tree_util.tree_map(np.asarray, variables)
+
+    # torchvision-style state_dict: first conv (3->64) is enough to detect
+    w0 = rng.randn(64, 3, 3, 3).astype(np.float32)
+    sd = {"features.0.weight": torch.from_numpy(w0),
+          "features.0.bias": torch.zeros(64)}
+    path = str(tmp_path / "vgg16.pth")
+    torch.save(sd, path)
+
+    out = apply_pretrained(variables, Config({"backbone": "vgg",
+                                              "pretrained_path": path}))
+    got = np.asarray(out["params"]["encoder"]["stage1_conv1"]["conv"]["kernel"])
+    np.testing.assert_allclose(got, np.transpose(w0, (2, 3, 1, 0)), rtol=1e-6)
+    # untouched layers keep their init
+    same = np.asarray(out["params"]["encoder"]["stage1_conv2"]["conv"]["kernel"])
+    np.testing.assert_array_equal(
+        same, np.asarray(variables["params"]["encoder"]["stage1_conv2"]["conv"]["kernel"]))
