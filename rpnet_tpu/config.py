@@ -106,12 +106,12 @@ _DEFAULTS: Dict[str, Any] = {
     "epochs": 100,
     "epoch_save": 1,
     "num_workers": 4,
-    "lr_schedule": "lr_shedule",
+    "lr_schedule": "lr_shedule",   # accepted, inert — the reference never reads it (grep-clean)
     "scheduler_step": 30,
     "loss": "dice_ce",
     "align_loss_scaler": 1.0,
-    "reg_loss_scaler": 0.0,
-    "reg_ft_scale": 1,
+    "reg_loss_scaler": 0.0,    # accepted, inert — dead in the reference too
+    "reg_ft_scale": 1,         # accepted, inert — dead in the reference too
     # --- eval protocol (test_rpnet.py:112-145) ---
     "n_runs": 5,
     "ckpt": None,
@@ -119,9 +119,9 @@ _DEFAULTS: Dict[str, Any] = {
     # --- misc / LGCA keys kept for schema compatibility ---
     "final_activation": "sigmoid",
     "context_net_downsample_scale": [2, 2, 2],
-    "do_postprocess": False,
+    "do_postprocess": False,   # accepted, inert — dead in the reference too
     "use_DSC": True,
-    "radius": 4,
+    "radius": 4,               # accepted, inert — dead in the reference too
     # --- TPU-native additions (absent from the reference) ---
     "mesh_shape": None,        # e.g. {"data": 8}; None = all devices on "data"
     "slice_bucket": 32,        # pad #query-slices to a multiple of this (static shapes)

@@ -31,7 +31,9 @@ def episode_metrics_fn(model, affine_iters: int, demons_iters: int,
                        fit_scale: int = 1, sampler: str = "matmul",
                        multishot: bool = False,
                        compute_dtype=jnp.float32,
-                       use_registration: bool = True):
+                       use_registration: bool = True,
+                       n_way: int = 1,
+                       reg_lr: float = 0.01, reg_sigma: float = 2.0):
     """Build the pure episode function for `model` (un-jitted).
 
     ``multishot=False`` (default) reproduces the reference: only shot 0 is
@@ -66,8 +68,8 @@ def episode_metrics_fn(model, affine_iters: int, demons_iters: int,
         elif multishot and Sh > 1:
             regs = jax.vmap(lambda s, l: register_episode(
                 s, qry_img, l, affine_iters=affine_iters,
-                demons_iters=demons_iters, fit_scale=fit_scale,
-                sampler=sampler))(supp_img, supp_lab)
+                demons_iters=demons_iters, lr=reg_lr, sigma=reg_sigma,
+                fit_scale=fit_scale, sampler=sampler))(supp_img, supp_lab)
             appr = (jnp.mean(regs.warped_label, axis=0) > 0.5).astype(jnp.float32)
             supp_t = regs.affine_src[None, ..., None]   # (1, Sh, Dq, H, W, 1)
             fore_t = regs.affine_label[None]            # (1, Sh, Dq, H, W)
@@ -77,11 +79,21 @@ def episode_metrics_fn(model, affine_iters: int, demons_iters: int,
             reg = register_episode(supp_img[0], qry_img, supp_lab[0],
                                    affine_iters=affine_iters,
                                    demons_iters=demons_iters,
+                                   lr=reg_lr, sigma=reg_sigma,
                                    fit_scale=fit_scale, sampler=sampler)
             appr = reg.warped_label                     # (Dq, H, W)
             supp_t = reg.affine_src[None, None, ..., None]
             fore_t = reg.affine_label[None, None]
             reg_warped_src = reg.warped_src
+
+        if n_way > 1:
+            # reference n_way semantics: ways REPLICATE the sampled supports
+            # (few_shot_reader.py:294-298 builds n_ways copies of the same
+            # samples). Replication is NOT a no-op downstream — the final
+            # softmax runs over 1+n_way channels (rp_net.py:305-310), so the
+            # fg probability differs from 1-way; tile to match.
+            supp_t = jnp.tile(supp_t, (n_way,) + (1,) * (supp_t.ndim - 1))
+            fore_t = jnp.tile(fore_t, (n_way,) + (1,) * (fore_t.ndim - 1))
 
         # ---- stage 2: network ----
         back_t = 1.0 - fore_t
@@ -154,7 +166,10 @@ class EpisodeRunner:
                 variables)
         fn = episode_metrics_fn(model, affine_iters, demons_iters, fit_scale,
                                 sampler, multishot, compute_dtype,
-                                use_registration=use_registration)
+                                use_registration=use_registration,
+                                n_way=int(config.get("n_way", 1)),
+                                reg_lr=float(config.get("reg_lr", 0.01)),
+                                reg_sigma=float(config.get("reg_sigma", 2.0)))
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P

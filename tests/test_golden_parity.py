@@ -451,3 +451,40 @@ def test_golden_deeds_single_shot(ref_reg):
                                err_msg="DEEDS sample grid drift")
     warped = deeds_warp(jnp.asarray(moving[..., None]), grid)[..., 0]
     np.testing.assert_allclose(np.asarray(warped), warped_ref, atol=1e-4)
+
+
+def test_golden_forward_two_way_replication(ref_net):
+    """n_way>1 CRASHES the reference: the relation-mode CRE reduces supp_fts
+    to way0/shot0 (net/rp_net.py:275, [None, None] re-expansion to (1,1,...))
+    and the prototype loop then indexes way 1 → IndexError (:288). The
+    reader replicates supports across ways (few_shot_reader.py:294-298), so
+    the sensible lift — what the pipeline's n_way knob does — runs the
+    replicated ways through the full way axis: per-way prototypes, softmax
+    over 1+n_way channels, identical logits across the duplicated ways."""
+    B, H, W = 1, 32, 32
+    ref, model, merged, _ = _build_pair(ref_net, "UNet", 2, 1, B, H, W, seed=7)
+    supp_img, fore, qry_img, _, appr = _episode(B, H, W, seed=4)
+    back = 1.0 - fore
+
+    st = torch.from_numpy(supp_img)[:, None]
+    ft = torch.from_numpy(fore)
+    bt = torch.from_numpy(back)
+    with torch.no_grad(), pytest.raises(IndexError):
+        ref([[st], [st]], [[ft], [ft]], [[bt], [bt]],
+            [torch.from_numpy(qry_img)[:, None]],
+            appr_query_labels=torch.from_numpy(appr))
+
+    sj = jnp.tile(jnp.asarray(supp_img)[None, None, ..., None], (2, 1, 1, 1, 1, 1))
+    fj = jnp.tile(jnp.asarray(fore)[None, None], (2, 1, 1, 1, 1))
+    bj = jnp.tile(jnp.asarray(back)[None, None], (2, 1, 1, 1, 1))
+    out_j = model.apply(merged, sj, fj, bj,
+                        jnp.asarray(qry_img)[..., None], jnp.asarray(appr),
+                        train=False)
+    out = np.asarray(out_j["output"])
+    assert out.shape[-1] == 3                      # 1 + n_way channels
+    # duplicated ways must produce identical fg logits at every pixel
+    np.testing.assert_allclose(out[..., 1], out[..., 2], atol=1e-5)
+    # (note: channels (0,1) do NOT equal the 1-way logits — the softmax over
+    # 1+n_way channels changes the thresholded mask inside the refinement
+    # recurrence, so the trajectories legitimately diverge)
+    assert np.all(np.isfinite(out))
