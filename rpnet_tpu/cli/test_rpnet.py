@@ -175,19 +175,10 @@ def evaluate(runner: EpisodeRunner, sampler: EpisodeSampler, config: Config):
         print()
 
     if pcount > 1:
-        from jax.experimental import multihost_utils
-
-        def merge(a):
-            g = np.asarray(multihost_utils.process_allgather(a))  # (P, ...)
-            if a.dtype == np.int32:
-                return g.max(axis=0)          # -1 everywhere except the owner
-            with np.errstate(all="ignore"):
-                out = np.nanmax(g, axis=0)    # exactly one non-NaN per slot
-            return out
-        rec_cls, rec_aff, rec_few, rec_ref = map(
-            merge, (rec_cls, rec_aff, rec_few, rec_ref))
-        failures = int(np.sum(np.asarray(
-            multihost_utils.process_allgather(np.asarray(failures)))))
+        from rpnet_tpu.parallel.mesh import allgather_merge_records
+        (rec_cls, rec_aff, rec_few, rec_ref), failures = \
+            allgather_merge_records((rec_cls, rec_aff, rec_few, rec_ref),
+                                    failures)
 
     # rebuild the per-class lists (reference None-for-empty-GT convention:
     # NaN entries are skipped by the aggregation, same as None)
@@ -267,17 +258,9 @@ def evaluate_3d(runner, sampler, config):
             rec_few[j] = res.dsc_fewshot
 
     if pcount > 1:
-        from jax.experimental import multihost_utils
-
-        def merge(a):
-            g = np.asarray(multihost_utils.process_allgather(a))
-            if a.dtype == np.int32:
-                return g.max(axis=0)
-            with np.errstate(all="ignore"):
-                return np.nanmax(g, axis=0)
-        rec_cls, rec_aff, rec_few = map(merge, (rec_cls, rec_aff, rec_few))
-        failures = int(np.sum(np.asarray(
-            multihost_utils.process_allgather(np.asarray(failures)))))
+        from rpnet_tpu.parallel.mesh import allgather_merge_records
+        (rec_cls, rec_aff, rec_few), failures = allgather_merge_records(
+            (rec_cls, rec_aff, rec_few), failures)
 
     dsc_affine_list = defaultdict(list)
     dsc_fewshot_list = defaultdict(list)

@@ -66,12 +66,40 @@ def maybe_initialize_distributed(config=None) -> bool:
         # divergent models into the same out_dir. RPNET_MULTIHOST_OPTIONAL=1
         # restores the old degrade-and-continue behavior (single-machine
         # experiments with a stale env var).
-        if os.environ.get("RPNET_MULTIHOST_OPTIONAL"):
+        optional = os.environ.get("RPNET_MULTIHOST_OPTIONAL", "").lower()
+        if optional not in ("", "0", "false", "no"):
             print(f"[multihost init skipped: {e}]")
             return False
         raise RuntimeError(
             f"multihost init requested ({'multihost: true' if want else 'JAX_COORDINATOR_ADDRESS'}) "
             f"but jax.distributed.initialize failed: {e}") from e
+
+
+def allgather_merge_records(arrays, failures: int = 0):
+    """Merge per-episode record arrays + a failure count across processes.
+
+    The eval drivers shard episodes/volumes by a strided index; each process
+    fills only its own slots (int32 arrays hold -1 elsewhere, float arrays
+    NaN). ``process_allgather`` + element-wise max / nanmax recovers the full
+    record on EVERY process; failures sum globally. Single-process calls
+    return the inputs unchanged.
+    """
+    import numpy as np
+
+    if jax.process_count() <= 1:
+        return list(arrays), failures
+    from jax.experimental import multihost_utils
+
+    def merge(a):
+        g = np.asarray(multihost_utils.process_allgather(a))   # (P, ...)
+        if np.issubdtype(a.dtype, np.integer):
+            return g.max(axis=0)          # -1 everywhere except the owner
+        with np.errstate(all="ignore"):
+            return np.nanmax(g, axis=0)   # exactly one non-NaN per slot
+    merged = [merge(a) for a in arrays]
+    total_failures = int(np.sum(np.asarray(
+        multihost_utils.process_allgather(np.asarray(failures)))))
+    return merged, total_failures
 
 
 def make_mesh(shape: Optional[Dict[str, int]] = None, devices=None) -> Mesh:

@@ -105,6 +105,9 @@ def make_train_step(model, config, optimizer) -> Callable:
                     if config.get("do_deformable", False) else 0)
     fit_scale = int(config.get("reg_fit_scale", 1))
     reg_sampler = str(config.get("reg_sampler", "matmul"))
+    reg_lr = float(config.get("reg_lr", 0.01))
+    reg_sigma = float(config.get("reg_sigma", 2.0))
+    n_way = int(config.get("n_way", 1))
     align_scaler = float(config.get("align_loss_scaler", 1.0))
     use_registration = bool(config.get("use_registration_loss", True))
     compute_dtype = jnp.dtype(config.get("compute_dtype", "float32"))
@@ -127,6 +130,7 @@ def make_train_step(model, config, optimizer) -> Callable:
             reg = register_episode(supp_img[0], qry_img, supp_lab[0],
                                    affine_iters=affine_iters,
                                    demons_iters=demons_iters,
+                                   lr=reg_lr, sigma=reg_sigma,
                                    fit_scale=fit_scale, sampler=reg_sampler)
             appr = jax.lax.stop_gradient(reg.warped_label)
             supp_in = jax.lax.stop_gradient(reg.affine_src)
@@ -134,6 +138,13 @@ def make_train_step(model, config, optimizer) -> Callable:
 
         supp_t = supp_in[None, None, ..., None]
         fore_t = fore[None, None]
+        if n_way > 1:
+            # keep the trained softmax arity consistent with eval: the
+            # pipeline tiles the sampled supports across ways (reference
+            # reader semantics, few_shot_reader.py:294-298) giving 1+n_way
+            # output channels — train with the same layout
+            supp_t = jnp.tile(supp_t, (n_way,) + (1,) * (supp_t.ndim - 1))
+            fore_t = jnp.tile(fore_t, (n_way,) + (1,) * (fore_t.ndim - 1))
         # mixed precision (compute_dtype: bfloat16): cast params (master copy
         # stays f32; the casts are differentiable so grads accumulate back to
         # f32) but NOT activations — matching the eval path (EpisodeRunner),

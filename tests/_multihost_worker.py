@@ -26,26 +26,24 @@ def main(coord: str, pid: int, nproc: int):
     assert jax.process_index() == pid
 
     import numpy as np
-    from jax.experimental import multihost_utils
 
-    # the evaluate() merge scheme: each process owns a strided shard of the
-    # per-episode record array; NaN elsewhere; nanmax-merge must recover the
-    # full record on EVERY process
+    from rpnet_tpu.parallel.mesh import allgather_merge_records
+
+    # the evaluate()/evaluate_3d() merge path: each process owns a strided
+    # shard of the per-episode record arrays (NaN / -1 elsewhere); the
+    # shared helper must recover the full record on EVERY process
     n_eps = 5
     rec = np.full(n_eps, np.nan, np.float64)
+    cls = np.full(n_eps, -1, np.int32)
     for j in range(pid, n_eps, nproc):
         rec[j] = 100.0 + j
-    g = np.asarray(multihost_utils.process_allgather(rec))
-    with np.errstate(all="ignore"):
-        merged = np.nanmax(g, axis=0)
-    expect = 100.0 + np.arange(n_eps)
-    np.testing.assert_allclose(merged, expect)
-
-    # failure-count reduction (evaluate() sums failures across processes)
-    failures = pid + 1      # 1 + 2
-    total = int(np.sum(np.asarray(
-        multihost_utils.process_allgather(np.asarray(failures)))))
+        cls[j] = j % 2
+    (cls_m, rec_m), total = allgather_merge_records((cls, rec),
+                                                    failures=pid + 1)
+    np.testing.assert_allclose(rec_m, 100.0 + np.arange(n_eps))
+    np.testing.assert_array_equal(cls_m, np.arange(n_eps) % 2)
     assert total == nproc * (nproc + 1) // 2, total
+    merged = rec_m
 
     print(f"WORKER_OK pid={pid} merged={merged.tolist()} failures={total}",
           flush=True)

@@ -38,9 +38,14 @@ def test_two_process_init_and_eval_merge():
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
         for pid in range(2)]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=240)
-        outs.append(out)
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+    finally:
+        for p in procs:          # no orphaned workers holding the port
+            if p.poll() is None:
+                p.kill()
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"WORKER_OK pid={pid}" in out
