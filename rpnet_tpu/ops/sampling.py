@@ -239,7 +239,12 @@ def grid_sample_matmul_chunked(x, grid, align_corners: bool = False,
     N, H, W, C = x.shape
     Hg, Wg = grid.shape[1:3]
     if Hg % row_chunk != 0:
-        return grid_sample_matmul(x, grid, align_corners, precision)
+        # pick the largest divisor of Hg instead of silently falling back to
+        # the full materialization (that one-shot path is exactly the HBM
+        # blowup this function exists to avoid — e.g. 250-row grids under a
+        # vmapped register_episode)
+        row_chunk = max(d for d in range(1, min(row_chunk, Hg) + 1)
+                        if Hg % d == 0)
     n_chunks = Hg // row_chunk
     grid_chunks = grid.reshape(N, n_chunks, row_chunk, Wg, 2)
     grid_chunks = jnp.moveaxis(grid_chunks, 1, 0)      # (n_chunks, N, R, Wg, 2)

@@ -111,10 +111,15 @@ def register_slice(src, dst, src_label, *, affine_iters: int = 50,
         warped_lab = separable_grid_sample(affine_lab[None], xs, ys)[0]
         warped_src01 = separable_grid_sample(affined_src01[None], xs, ys)[0]
     else:
-        warped_lab = demons_warp(affine_lab, flow, grid_chw, diffeomorphic=True,
-                                 scaling=diffeo_scaling)
-        warped_src01 = demons_warp(affined_src01, flow, grid_chw,
-                                   diffeomorphic=True, scaling=diffeo_scaling)
+        # ONE combined 2-channel warp: the scaling-and-squaring integration
+        # of the flow is channel-independent, so warping label and image
+        # separately would run the 10-step integration (and the dense
+        # resample) twice for identical flow
+        both01 = jnp.concatenate([affine_lab, affined_src01], axis=-1)
+        warped_both = demons_warp(both01, flow, grid_chw, diffeomorphic=True,
+                                  scaling=diffeo_scaling)
+        warped_lab = warped_both[..., :1]
+        warped_src01 = warped_both[..., 1:]
 
     return RegistrationResult(
         theta=theta,

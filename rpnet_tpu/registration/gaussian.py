@@ -53,12 +53,18 @@ def gaussian_blur_flow(flow, sigma: Sequence[float] = (2.0, 2.0)):
 
 
 def l2_regulariser_2d(displacement, pixel_spacing=(1.0, 1.0)):
-    """Forward-difference smoothness penalty (net/registration.py:163-168).
+    """Bit-faithful port of ``_l2_regulariser_2d`` (net/registration.py:163-168).
 
-    displacement: (H, W, 2) channels-last (the reference squeezes batch).
+    Reference quirk, preserved: the squeezed flow there is (2, H, W)
+    channels-FIRST, so its ``[1:] - [:-1]`` on dim 0 is a CHANNEL difference
+    (flow_y − flow_x on a shifted window), not a spatial gradient; the pad
+    then extends the last two dims to (1, H, W+1) before the mean. A sane
+    spatial-smoothness penalty this is not — but the knob is public API and
+    parity wins. displacement: (H, W, 2) channels-last here.
     """
-    dx = (displacement[1:, 1:, :] - displacement[:-1, 1:, :]) ** 2 * pixel_spacing[0]
-    dy = (displacement[1:, 1:, :] - displacement[1:, :-1, :]) ** 2 * pixel_spacing[1]
-    s = dx + dy
-    padded = jnp.pad(s, ((0, 1), (0, 1), (0, 0)))
+    d = jnp.transpose(displacement, (2, 0, 1))             # (2, H, W)
+    dx = (d[1:, 1:, :] - d[:-1, 1:, :]) ** 2 * pixel_spacing[0]
+    dy = (d[1:, 1:, :] - d[1:, :-1, :]) ** 2 * pixel_spacing[1]
+    s = dx + dy                                            # (1, H-1, W)
+    padded = jnp.pad(s, ((0, 0), (0, 1), (0, 1)))          # (1, H, W+1)
     return jnp.mean(padded)

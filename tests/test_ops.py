@@ -327,3 +327,17 @@ def test_mxu_banded_backward_matches_autodiff(rng):
     m1, m2 = local_correlation_mxu_bwd(g, a, b, r, precision="highest")
     np.testing.assert_allclose(np.asarray(m1), np.asarray(d1), atol=1e-5)
     np.testing.assert_allclose(np.asarray(m2), np.asarray(d2), atol=1e-5)
+
+
+def test_grid_sample_matmul_chunked_non_divisible_rows(rng):
+    """A grid height not divisible by row_chunk must still chunk (largest
+    divisor), not silently fall back to full materialization."""
+    from rpnet_tpu.ops.sampling import grid_sample, grid_sample_matmul_chunked
+
+    x = jnp.asarray(rng.randn(1, 10, 8, 2).astype(np.float32))
+    gy, gx = np.meshgrid(np.linspace(-1, 1, 25), np.linspace(-1, 1, 8),
+                         indexing="ij")
+    grid = jnp.asarray(np.stack([gx, gy], axis=-1)[None].astype(np.float32))
+    out_c = grid_sample_matmul_chunked(x, grid, row_chunk=16)   # 25 % 16 != 0
+    out_f = grid_sample(x, grid)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_f), atol=1e-5)

@@ -258,3 +258,26 @@ def test_affine_deeds_combined(rng):
     err_before = np.mean((src - dst) ** 2)
     err_after = np.mean((warped[..., 0] - dst) ** 2)
     assert err_after < 0.7 * err_before
+
+
+def test_l2_regulariser_matches_reference_quirk(rng):
+    """l2_regulariser_2d ports the reference's _l2_regulariser_2d VERBATIM —
+    including the quirk that the squeezed flow is (2, H, W) channels-first,
+    so the dim-0 difference is a CHANNEL difference, not a spatial gradient
+    (net/registration.py:163-168)."""
+    import torch
+    import torch.nn.functional as F
+
+    from rpnet_tpu.registration.gaussian import l2_regulariser_2d
+
+    H, W = 9, 7
+    flow_chw = rng.randn(1, 2, H, W).astype(np.float32)   # reference layout
+
+    d = torch.from_numpy(flow_chw).squeeze(0)             # (2, H, W)
+    dx = (d[1:, 1:, :] - d[:-1, 1:, :]).pow(2) * 1
+    dy = (d[1:, 1:, :] - d[1:, :-1, :]).pow(2) * 1
+    ref = torch.mean(F.pad(dx + dy, (0, 1, 0, 1))).item()
+
+    ours = float(l2_regulariser_2d(
+        jnp.asarray(np.transpose(flow_chw[0], (1, 2, 0)))))   # (H, W, 2)
+    np.testing.assert_allclose(ours, ref, rtol=1e-6)
