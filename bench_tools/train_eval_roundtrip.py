@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--k", type=int, default=12)
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--episodes-per-epoch", type=int, default=8)
+    ap.add_argument("--epoch-save", type=int, default=None,
+                    help="checkpoint every N epochs (default: epochs, i.e. "
+                         "only the final one — long runs shouldn't write "
+                         "hundreds of orbax trees)")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--workdir", default="/tmp/rpnet_roundtrip")
     args = ap.parse_args()
@@ -65,7 +69,7 @@ def main():
         do_intaug=True, do_elastic=False, gamma_range=[0.7, 1.4],
         batch_size=2, init_lr=3e-4, weight_decay=1e-4, scheduler_step=30,
         align_loss_scaler=0.3, loss="dice_ce", epochs=args.epochs,
-        epoch_save=1, n_runs=1, seed=0,
+        epoch_save=args.epoch_save or args.epochs, n_runs=1, seed=0,
     )
 
     def write_yaml(extra, name):

@@ -88,8 +88,27 @@ def build_model_and_runner(config: Config, seed: int = 0):
     local = jax.local_devices()
     if mesh_shape or len(local) > 1:
         from rpnet_tpu.parallel.mesh import make_mesh
-        mesh = make_mesh(dict(mesh_shape) if mesh_shape else None,
-                         devices=local)
+        shape = dict(mesh_shape) if mesh_shape else None
+        pcount = jax.process_count()
+        if shape and pcount > 1:
+            # a mesh_shape sized for the GLOBAL device count (the natural way
+            # to write the YAML) is reinterpreted per-process: divide the
+            # data axis by process_count when that lands on the local count
+            total = int(np.prod(list(shape.values())))
+            data = int(shape.get("data", 1))
+            if (total != len(local) and data % pcount == 0
+                    and total // pcount == len(local)):
+                shape["data"] = data // pcount
+                print(f"[mesh_shape data axis {data} split over {pcount} "
+                      f"processes → {shape['data']} local]")
+            elif total != len(local):
+                raise ValueError(
+                    f"mesh_shape {dict(mesh_shape)} needs {total} devices but "
+                    f"eval meshes span only this process's {len(local)} local "
+                    f"devices (episodes shard across processes); use a "
+                    f"per-process shape or a data axis divisible by "
+                    f"process_count={pcount}")
+        mesh = make_mesh(shape, devices=local)
         print(f"[mesh {dict(mesh.shape)} over {len(local)} local devices]")
     runner = EpisodeRunner(model, variables, config, mesh=mesh)
     return model, variables, runner, start_epoch
@@ -105,8 +124,10 @@ def evaluate(runner: EpisodeRunner, sampler: EpisodeSampler, config: Config):
     Multi-host: with ``jax.process_count() > 1`` each process evaluates a
     strided shard of the episode list and per-class Dice merges globally via
     ``multihost_utils.process_allgather`` (every process prints/aggregates
-    identical numbers). Support draws then differ from the single-process
-    stream (each process consumes its own seeded RNG) but stay deterministic.
+    identical numbers). Support draws are PRE-DRAWN for all episodes from the
+    shared seed on every process (the stdlib stream few_shot_reader.py:255-283
+    / test_rpnet.py:8-10 preserves), so an N-process eval sees the exact
+    support assignments of a single-process run — only the work is sharded.
     """
     import traceback
 
@@ -122,13 +143,20 @@ def evaluate(runner: EpisodeRunner, sampler: EpisodeSampler, config: Config):
     pidx = jax.process_index()
     my_idxs = list(range(pidx, n_eps, pcount)) if pcount > 1 else list(range(n_eps))
 
+    # every process draws ALL episodes' supports from the shared seed (cheap
+    # index sampling, eval assembly consumes no RNG) → the episode→support
+    # assignment is identical across process counts; each process then only
+    # ASSEMBLES its strided shard
+    all_picks = [sampler.draw_supports(j) for j in range(n_eps)]
+
     # NB: per-episode isolation must survive DATA-stage failures too — a
     # plain generator would close on the first raise, turning every later
     # next() into StopIteration (all remaining episodes silently skipped)
-    if config.get("num_workers", 0) and pcount == 1:
+    if config.get("num_workers", 0):
         from rpnet_tpu.episode.prefetch import EpisodeFailure, PrefetchingSampler
         iterator = iter(PrefetchingSampler(
-            sampler, lookahead=2, workers=int(config["num_workers"])))
+            sampler, lookahead=2, workers=int(config["num_workers"]),
+            indices=my_idxs, picks=all_picks))
 
         def fetch(j):
             ep = next(iterator)
@@ -137,7 +165,7 @@ def evaluate(runner: EpisodeRunner, sampler: EpisodeSampler, config: Config):
             return ep
     else:
         def fetch(j):
-            return sampler.sample(j)
+            return sampler.sample(j, picks=all_picks[j])
 
     # per-episode record arrays (NaN = not mine / failed / empty-GT) so the
     # multi-host merge is a plain elementwise combine
@@ -405,7 +433,11 @@ def main(argv=None):
     results: Dict[str, Dict] = {"classes": {}, "wall_time_sec": wall,
                                 "episodes": total_episodes,
                                 "failed_episodes": total_failures,
-                                "episodes_per_sec": total_episodes / max(wall, 1e-9)}
+                                # throughput counts COMPLETED episodes only —
+                                # failures must not inflate it
+                                "episodes_per_sec":
+                                    (total_episodes - total_failures)
+                                    / max(wall, 1e-9)}
 
     def _nanmean_std(rows):
         """Mean over episodes per run, then mean±std over runs

@@ -14,7 +14,6 @@ the draw order is identical to serial iteration.
 from __future__ import annotations
 
 import queue
-import random
 from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Iterator
 
@@ -43,27 +42,34 @@ class PrefetchingSampler:
     """
 
     def __init__(self, sampler: EpisodeSampler, lookahead: int = 2,
-                 workers: int = 2):
+                 workers: int = 2, indices=None, picks=None):
+        """``indices``: the episode ids to iterate (default: all, in order) —
+        a multi-host process passes its strided shard so workers prefetch
+        exactly what it will evaluate. ``picks``: optional mapping
+        ``episode id → support picks`` pre-drawn from the shared seed; when
+        absent, picks are drawn on the caller thread at submit time so the
+        stdlib RNG sequence matches serial iteration exactly."""
         self.sampler = sampler
         self.lookahead = max(1, lookahead)
         self.workers = max(1, workers)
+        self.indices = list(range(len(sampler))) if indices is None else list(indices)
+        self.picks = picks
 
     def __len__(self):
-        return len(self.sampler)
+        return len(self.indices)
 
     def __iter__(self) -> Iterator[Episode]:
-        n = len(self.sampler)
+        n = len(self.indices)
         with ThreadPoolExecutor(max_workers=self.workers) as pool:
             pending: "queue.Queue[Future]" = queue.Queue()
 
-            def submit(idx: int):
-                # draw the support picks HERE (caller thread) so the stdlib
-                # RNG sequence matches serial iteration exactly
-                ci, di = self.sampler.indices[idx]
-                n_in_class = len(self.sampler.data_info[ci])
-                pool_ids = [i for i in range(n_in_class) if i != di]
-                picks = random.choices(pool_ids, k=self.sampler.cfg["n_shot"])
-                pending.put(pool.submit(self._assemble, idx, picks))
+            def submit(pos: int):
+                idx = self.indices[pos]
+                if self.picks is not None:
+                    picks = list(self.picks[idx])
+                else:
+                    picks = self.sampler.draw_supports(idx)
+                pending.put(pool.submit(self.sampler.sample, idx, None, picks))
 
             upto = min(self.lookahead, n)
             for i in range(upto):
@@ -77,19 +83,3 @@ class PrefetchingSampler:
                     yield fut.result()
                 except Exception as e:   # noqa: BLE001 — keep the stream alive
                     yield EpisodeFailure(e)
-
-    def _assemble(self, idx: int, picks) -> Episode:
-        s = self.sampler
-        ci, di = s.indices[idx]
-        import dataclasses
-
-        pid = s.data_info[ci][di]["pid"]
-        supports = [s.load_image_and_mask(s.data_info[ci][i]["pid"],
-                                          s.classes[ci]) for i in picks]
-        qry_img, qry_mask = s.load_image_and_mask(pid, s.classes[ci])
-        if s.mode == "train":
-            ep = s._assemble_train(supports, qry_img, qry_mask)
-        else:
-            ep = s._assemble_eval(supports, qry_img, qry_mask)
-        return dataclasses.replace(ep, class_id=ci, pid=pid,
-                                   supp_pids=[(ci, i) for i in picks])

@@ -157,15 +157,24 @@ class EpisodeSampler:
         return imgs[0], mask[0]   # (D, H, W) each
 
     # ------------------------------------------------------------------ sample
-    def sample(self, idx: int, supp_idx: Optional[int] = None) -> Episode:
+    def draw_supports(self, idx: int) -> List[int]:
+        """Draw the support picks for episode ``idx`` from the stdlib RNG
+        (few_shot_reader.py:255-283 sequence). Split out so callers can
+        pre-draw ALL episodes from the shared seed — multi-host eval then
+        sees identical support assignments on every process regardless of
+        which strided shard it evaluates."""
+        ci, di = self.indices[idx]
+        pool = [i for i in range(len(self.data_info[ci])) if i != di]
+        return random.choices(pool, k=self.cfg["n_shot"])
+
+    def sample(self, idx: int, supp_idx: Optional[int] = None,
+               picks: Optional[List[int]] = None) -> Episode:
         cfg = self.cfg
-        n_shots = cfg["n_shot"]
         ci, di = self.indices[idx]
         pid = self.data_info[ci][di]["pid"]
-        n_in_class = len(self.data_info[ci])
 
-        pool = [i for i in range(n_in_class) if i != di]
-        picks = random.choices(pool, k=n_shots)
+        if picks is None:
+            picks = self.draw_supports(idx)
         if supp_idx is not None:
             picks = [supp_idx]
         supp_pids = [(ci, i) for i in picks]

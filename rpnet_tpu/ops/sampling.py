@@ -238,14 +238,16 @@ def grid_sample_matmul_chunked(x, grid, align_corners: bool = False,
     """
     N, H, W, C = x.shape
     Hg, Wg = grid.shape[1:3]
-    if Hg % row_chunk != 0:
-        # pick the largest divisor of Hg instead of silently falling back to
-        # the full materialization (that one-shot path is exactly the HBM
-        # blowup this function exists to avoid — e.g. 250-row grids under a
-        # vmapped register_episode)
-        row_chunk = max(d for d in range(1, min(row_chunk, Hg) + 1)
-                        if Hg % d == 0)
-    n_chunks = Hg // row_chunk
+    row_chunk = min(row_chunk, Hg)
+    pad = (-Hg) % row_chunk
+    if pad:
+        # pad the grid up to a multiple of row_chunk (a divisor fallback
+        # degenerates to row_chunk=1 — Hg serial scan steps — when Hg is
+        # prime, e.g. a 251-row grid); padded rows sample real values but
+        # are sliced off below, keeping chunk count at ceil(Hg/row_chunk)
+        grid = jnp.concatenate(
+            [grid, jnp.broadcast_to(grid[:, -1:], (N, pad, Wg, 2))], axis=1)
+    n_chunks = (Hg + pad) // row_chunk
     grid_chunks = grid.reshape(N, n_chunks, row_chunk, Wg, 2)
     grid_chunks = jnp.moveaxis(grid_chunks, 1, 0)      # (n_chunks, N, R, Wg, 2)
 
@@ -253,7 +255,8 @@ def grid_sample_matmul_chunked(x, grid, align_corners: bool = False,
         return None, grid_sample_matmul(x, g, align_corners, precision)
 
     _, out = jax.lax.scan(body, None, grid_chunks)     # (n_chunks, N, R, Wg, C)
-    return jnp.moveaxis(out, 0, 1).reshape(N, Hg, Wg, C)
+    out = jnp.moveaxis(out, 0, 1).reshape(N, Hg + pad, Wg, C)
+    return out[:, :Hg] if pad else out
 
 
 # --------------------------------------------------------------------------

@@ -84,31 +84,38 @@ def restore_opt_state(fresh_opt_state, path: str):
     ckptr = ocp.PyTreeCheckpointer()
     # structure check via METADATA (no tensor reads) — a bare probe restore
     # would read the whole checkpoint (params + moments) a second time
+    meta_ok = True
     try:
         meta = ckptr.metadata(os.path.abspath(path))
         tree = getattr(getattr(meta, "item_metadata", meta), "tree", None)
         has_opt = bool(tree) and tree.get("opt_state") is not None
     except Exception:   # noqa: BLE001 — old layouts without metadata
-        has_opt = True  # fall through to the templated restore attempt
-    if not has_opt:
+        # without metadata we can't tell whether opt_state EXISTS; the
+        # partial restore with transforms={} would silently hand back the
+        # fresh template for absent keys, so go straight to the probe path
+        meta_ok, has_opt = False, False
+    if meta_ok and not has_opt:
         return None
-    try:
-        # partial restore: only the opt_state subtree is read from disk
-        item = {"opt_state": fresh_opt_state}
-        rargs = jax.tree_util.tree_map(lambda _: ocp.RestoreArgs(), item)
-        out = ckptr.restore(os.path.abspath(path), item=item, transforms={},
-                            restore_args=rargs)
-        return out["opt_state"]
-    except Exception:   # noqa: BLE001
-        # fallback: full templated restore (variables template from a probe)
-        probe = ckptr.restore(os.path.abspath(path))
-        if not (isinstance(probe, dict) and probe.get("opt_state") is not None):
-            return None
-        template = {"step": 0,
-                    "variables": jax.tree_util.tree_map(np.asarray, probe["variables"]),
-                    "opt_state": fresh_opt_state}
-        full = ckptr.restore(os.path.abspath(path), item=template)
-        return full["opt_state"]
+    if meta_ok:
+        try:
+            # partial restore: only the opt_state subtree is read from disk
+            item = {"opt_state": fresh_opt_state}
+            rargs = jax.tree_util.tree_map(lambda _: ocp.RestoreArgs(), item)
+            out = ckptr.restore(os.path.abspath(path), item=item,
+                                transforms={}, restore_args=rargs)
+            return out["opt_state"]
+        except Exception:   # noqa: BLE001
+            pass
+    # fallback: full templated restore (variables template from a probe);
+    # the probe itself proves whether opt_state is really in the checkpoint
+    probe = ckptr.restore(os.path.abspath(path))
+    if not (isinstance(probe, dict) and probe.get("opt_state") is not None):
+        return None
+    template = {"step": 0,
+                "variables": jax.tree_util.tree_map(np.asarray, probe["variables"]),
+                "opt_state": fresh_opt_state}
+    full = ckptr.restore(os.path.abspath(path), item=template)
+    return full["opt_state"]
 
 
 def apply_pretrained(variables, config):
@@ -129,7 +136,10 @@ def apply_pretrained(variables, config):
 
         from rpnet_tpu.train.convert import convert_torchvision_vgg16
 
-        raw = torch.load(path, map_location="cpu", weights_only=False)
+        try:   # torchvision weight files load fine without pickle execution
+            raw = torch.load(path, map_location="cpu", weights_only=True)
+        except Exception:   # noqa: BLE001 — legacy full-object checkpoints
+            raw = torch.load(path, map_location="cpu", weights_only=False)
         sd = raw.get("state_dict", raw) if isinstance(raw, dict) else raw
         tree = convert_torchvision_vgg16(sd)
         print(f"[vgg warm start from {path}]")

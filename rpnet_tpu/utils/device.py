@@ -63,11 +63,14 @@ def init_on_host_cpu(model, rng, dummy, train: bool = False):
     """
     import jax
 
-    dev = jax.devices()[0]
+    # LOCAL devices only: in a multi-process pod jax.devices() is the global
+    # list and index 0 belongs to process 0 — an eager op committed to a
+    # non-addressable device segfaults inside threefry on every other process
+    dev = jax.local_devices()[0]
     prev = os.environ.get("RPNET_CORR_IMPL")   # restore, don't clobber
     try:
         os.environ["RPNET_CORR_IMPL"] = "xla"
-        cpu = jax.devices("cpu")[0]
+        cpu = jax.local_devices(backend="cpu")[0]
         with jax.default_device(cpu):
             variables = model.init(rng, *dummy, train=train)
         if dev.platform != "cpu":

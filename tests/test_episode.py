@@ -378,11 +378,11 @@ def test_eval_fault_isolation_data_stage(synth, tmp_path):
     calls = {"n": 0}
     real_sample = EpisodeSampler.sample
 
-    def flaky_sample(self, j):
+    def flaky_sample(self, j, *a, **k):
         calls["n"] += 1
         if calls["n"] == 1:
             raise RuntimeError("injected corrupt volume")
-        return real_sample(self, j)
+        return real_sample(self, j, *a, **k)
 
     EpisodeSampler.sample = flaky_sample
     try:
@@ -409,19 +409,19 @@ def test_prefetch_survives_failing_episode(synth):
     n = len(sampler)
     assert n >= 2
 
-    real = PrefetchingSampler._assemble
+    real = EpisodeSampler.sample
     state = {"n": 0}
 
-    def flaky(self, idx, picks):
+    def flaky(self, idx, *a, **k):
         state["n"] += 1
         if state["n"] == 1:
             raise RuntimeError("bad NRRD")
-        return real(self, idx, picks)
+        return real(self, idx, *a, **k)
 
-    PrefetchingSampler._assemble = flaky
+    EpisodeSampler.sample = flaky
     try:
         out = list(PrefetchingSampler(sampler, lookahead=2, workers=2))
     finally:
-        PrefetchingSampler._assemble = real
+        EpisodeSampler.sample = real
     assert len(out) == n
     assert sum(isinstance(o, EpisodeFailure) for o in out) == 1
