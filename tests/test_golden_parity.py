@@ -50,15 +50,88 @@ def _stub_module(name, **attrs):
     return mod
 
 
+class _TVBasicBlock(torch.nn.Module):
+    """torchvision.models.resnet.BasicBlock stand-in (torchvision is absent
+    from this image): same submodule names/shapes/forward, so the reference's
+    own ResNet18 class (net/rp_net.py:19-42) builds and runs unmodified."""
+
+    expansion = 1
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None,
+                 groups=1, base_width=64, dilation=1, norm_layer=None):
+        super().__init__()
+        nn = torch.nn
+        norm_layer = norm_layer or nn.BatchNorm2d
+        self.conv1 = nn.Conv2d(inplanes, planes, 3, stride=stride,
+                               padding=1, bias=False)
+        self.bn1 = norm_layer(planes)
+        self.relu = nn.ReLU(inplace=True)
+        self.conv2 = nn.Conv2d(planes, planes, 3, padding=1, bias=False)
+        self.bn2 = norm_layer(planes)
+        self.downsample = downsample
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+class _TVResNet18(torch.nn.Module):
+    """torchvision.models.resnet18() stand-in with the SAME children() order
+    (conv1, bn1, relu, maxpool, layer1..layer4, avgpool, fc) — the reference
+    slices `children()[:-5]`, so the prefix it keeps must match exactly."""
+
+    def __init__(self):
+        super().__init__()
+        nn = torch.nn
+        self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU(inplace=True)
+        self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+
+        def layer(inp, planes, stride):
+            down = None
+            if stride != 1 or inp != planes:
+                down = nn.Sequential(
+                    nn.Conv2d(inp, planes, 1, stride=stride, bias=False),
+                    nn.BatchNorm2d(planes))
+            return nn.Sequential(_TVBasicBlock(inp, planes, stride, down),
+                                 _TVBasicBlock(planes, planes))
+
+        self.layer1 = layer(64, 64, 1)
+        self.layer2 = layer(64, 128, 2)
+        self.layer3 = layer(128, 256, 2)
+        self.layer4 = layer(256, 512, 2)
+        self.avgpool = nn.AdaptiveAvgPool2d((1, 1))
+        self.fc = nn.Linear(512, 1000)
+        # torchvision ResNet.__init__ init loop
+        for m in self.modules():
+            if isinstance(m, nn.Conv2d):
+                nn.init.kaiming_normal_(m.weight, mode="fan_out",
+                                        nonlinearity="relu")
+            elif isinstance(m, nn.BatchNorm2d):
+                nn.init.constant_(m.weight, 1)
+                nn.init.constant_(m.bias, 0)
+
+
+def _tv_resnet18(pretrained=False, **kw):
+    assert not pretrained, "no torchvision weights in this image"
+    return _TVResNet18()
+
+
 @pytest.fixture(scope="module")
 def ref_net():
-    """Import the reference package with torchvision stubbed (not installed;
-    only the resnet backbone — untested here — needs the real thing)."""
+    """Import the reference package with torchvision replaced by the
+    functional stand-ins above (absent from the image) — all THREE reference
+    backbones then build and run, resnet included."""
     if "torchvision" not in sys.modules:
         tv = _stub_module("torchvision")
-        tv.models = _stub_module("torchvision.models", resnet18=None)
+        tv.models = _stub_module("torchvision.models", resnet18=_tv_resnet18)
         tv.models.resnet = _stub_module("torchvision.models.resnet",
-                                        BasicBlock=object)
+                                        BasicBlock=_TVBasicBlock)
     # utils/util.py (imported transitively by net/unet.py) pulls viz/IO deps
     # the image lacks; none are touched by the model forward paths under test
     for name in ("pydicom", "SimpleITK", "nrrd", "nibabel", "torchviz"):
@@ -136,9 +209,10 @@ def _build_pair(ref_net, backbone, n_iter, radius, B, H, W, seed=1):
             x = torch.randn(2, 1, H, W) * 0.5 + 0.1 * s
             if backbone == "vgg":
                 ref.encoder(x.expand(-1, 3, -1, -1))
+            elif backbone == "resnet":
+                ref.encoder(x.expand(-1, 3, -1, -1), None)
             else:
-                ref.encoder(x, None)
-            c = ref.encoder(x, None) if backbone != "vgg" else None
+                c = ref.encoder(x, None)
             if backbone == "UNet":
                 d4 = c["d4"]
                 m = torch.nn.functional.avg_pool2d(
@@ -180,7 +254,7 @@ def _nhwc(t):
 
 # --------------------------------------------------------------------- tests
 
-@pytest.mark.parametrize("backbone", ["UNet", "vgg"])
+@pytest.mark.parametrize("backbone", ["UNet", "vgg", "resnet"])
 def test_golden_encoder_features(ref_net, backbone):
     """Converted-weights encoder d4 must match the reference encoder."""
     B, H, W = 2, 64, 64
@@ -192,6 +266,8 @@ def test_golden_encoder_features(ref_net, backbone):
         if backbone == "vgg":
             d4_t = ref.encoder(x.expand(-1, 3, -1, -1)).numpy()
             d4_t = np.transpose(d4_t, (0, 2, 3, 1))
+        elif backbone == "resnet":
+            d4_t = _nhwc(ref.encoder(x.expand(-1, 3, -1, -1), None)["d4"])
         else:
             d4_t = _nhwc(ref.encoder(x, None)["d4"])
 
@@ -230,11 +306,17 @@ def test_golden_cre_output(ref_net):
     np.testing.assert_allclose(cre_j, cre_t, atol=5e-4, err_msg="CRE drift")
 
 
-def test_golden_full_forward_unet(ref_net):
+@pytest.mark.parametrize("backbone", ["UNet", "resnet"])
+def test_golden_full_forward(ref_net, backbone):
     """END-TO-END: per-iteration refinement logits, final output, and Dice
-    must match the reference forward (net/rp_net.py:226-350) bit-closely."""
+    must match the reference forward (net/rp_net.py:226-350) bit-closely.
+
+    Runs on UNet and resnet — the two backbones whose reference full-model
+    path works (resnet's encoder returns the {'d4'} dict, rp_net.py:40-42;
+    vgg's returns a raw tensor and crashes on ['d4'], so it gets
+    encoder-level parity only)."""
     B, H, W, n_iter, radius = 2, 64, 64, 3, 2
-    ref, model, merged, bcfg = _build_pair(ref_net, "UNet", n_iter, radius, B, H, W)
+    ref, model, merged, bcfg = _build_pair(ref_net, backbone, n_iter, radius, B, H, W)
     supp_img, fore, qry_img, qry_lab, appr = _episode(B, H, W)
     back = 1.0 - fore
 
