@@ -331,12 +331,22 @@ def eval_lgca(config, out_dir):
         variables, _ = restore_into(variables, config["ckpt"],
                                     model_name="LGCANet_V3")
 
+    # multi-chip: shard each eval slice-chunk over the data axis
+    mesh = None
+    mesh_shape = config.get("mesh_shape")
+    local = jax.local_devices()
+    if mesh_shape or len(local) > 1:
+        from rpnet_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(dict(mesh_shape) if mesh_shape else None,
+                         devices=local)
+        print(f"[LGCA mesh {dict(mesh.shape)} over {len(local)} local devices]")
+
     rois = list(config["roi_names"])
     per_class = defaultdict(list)
     for j in range(len(sampler)):
         try:
             s = sampler.sample(j)
-            dices = evaluate_lgca_volume(model, variables, s)
+            dices = evaluate_lgca_volume(model, variables, s, mesh=mesh)
         except Exception as e:
             print(f"{j} VOLUME FAILED — skipping: {e}")
             continue

@@ -102,7 +102,19 @@ def train_lgca(config, args, out_dir):
                 state["opt_state"], start_epoch * steps_per_epoch)
         state["step"] = np.int32(start_epoch * steps_per_epoch)
 
-    step = jax.jit(make_lgca_train_step(model, config, optimizer))
+    # multi-chip: shard the slice batch over the mesh's data axis (the
+    # reference's torch data_parallel layout, lgca_net_v3.py:600,615,622)
+    mesh_shape = config.get("mesh_shape")
+    local = jax.local_devices()
+    if mesh_shape or len(local) > 1:
+        from rpnet_tpu.parallel.mesh import make_mesh
+        from rpnet_tpu.train.lgca import sharded_lgca_train_step
+        mesh = make_mesh(dict(mesh_shape) if mesh_shape else None,
+                         devices=local)
+        print(f"[LGCA mesh {dict(mesh.shape)} over {len(local)} local devices]")
+        step = sharded_lgca_train_step(model, config, optimizer, mesh)
+    else:
+        step = jax.jit(make_lgca_train_step(model, config, optimizer))
     rng = np.random.RandomState(seed)
     model_dir = os.path.join(out_dir, "model")
 

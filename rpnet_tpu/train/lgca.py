@@ -48,6 +48,39 @@ def make_lgca_train_step(model: LGCANetV3, config, optimizer):
     return train_step
 
 
+def sharded_lgca_train_step(model: LGCANetV3, config, optimizer, mesh):
+    """jit the LGCA step over a mesh: the slice batch (and its mask) shard on
+    the ``data`` axis, the 3D context volume and params replicate.
+
+    The reference's LGCANet_V3 is DEFINED around torch data_parallel — it
+    scatters the slice batch over GPUs and replicates the context features by
+    ``cuda.device_count()`` (lgca_net_v3.py:600,615,622). Here GSPMD gets the
+    same layout from sharding annotations, and unlike torch data_parallel the
+    BN batch statistics stay GLOBAL over the slice batch — the sharded step
+    is numerically the single-device step (tests/test_lgca.py asserts it).
+    """
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    step = make_lgca_train_step(model, config, optimizer)
+    repl = NamedSharding(mesh, P())
+
+    def batch_sharding(volume, slices, mask, vmask):
+        on_data = lambda x: jax.device_put(
+            x, NamedSharding(mesh, P(*(["data"] + [None] * (x.ndim - 1)))))
+        return (jax.device_put(volume, repl), on_data(slices),
+                on_data(mask), jax.device_put(vmask, repl))
+
+    jitted = jax.jit(step, donate_argnums=(0,))
+
+    def run(state, batch):
+        state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, repl), state)
+        return jitted(state, batch_sharding(*map(jnp.asarray, batch)))
+
+    return run
+
+
 def init_lgca_state(model: LGCANetV3, config, rng, sampler, optimizer=None):
     """Initialize on host CPU with the sampler's static shapes."""
     from rpnet_tpu.train.trainer import make_optimizer
@@ -82,10 +115,11 @@ def _lgca_eval_fwd(model: LGCANetV3):
 
 
 def evaluate_lgca_volume(model: LGCANetV3, variables, sample,
-                         chunk: int = 16) -> Dict[str, float]:
+                         chunk: int = 16, mesh=None) -> Dict[str, float]:
     """Whole-volume eval: sweep all z-slices in fixed-size chunks through one
     jitted forward, threshold at 0.5, per-class Dice (None for empty GT —
-    utils/util.py:379-390 convention)."""
+    utils/util.py:379-390 convention). With ``mesh`` the slice chunk shards
+    over the ``data`` axis (volume + params replicated)."""
     volume = jnp.asarray(sample["volume"])
     slices = sample["slices"]
     mask = sample["mask"]
@@ -93,13 +127,23 @@ def evaluate_lgca_volume(model: LGCANetV3, variables, sample,
     K = mask.shape[-1]
 
     fwd = _lgca_eval_fwd(model)
+    put = lambda sl: jnp.asarray(sl)
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+        repl = NamedSharding(mesh, P())
+        variables = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, repl), variables)
+        volume = jax.device_put(volume, repl)
+        put = lambda sl: jax.device_put(
+            jnp.asarray(sl), NamedSharding(mesh, P("data", None, None, None)))
 
     preds = []
     for z0 in range(0, D, chunk):
         sl = slices[z0:z0 + chunk]
         if sl.shape[0] < chunk:                      # static-shape pad
             sl = np.pad(sl, ((0, chunk - sl.shape[0]), (0, 0), (0, 0), (0, 0)))
-        preds.append(np.asarray(fwd(variables, volume, jnp.asarray(sl))))
+        preds.append(np.asarray(fwd(variables, volume, put(sl))))
     pred = np.concatenate(preds)[:D] > 0.5
 
     out: Dict[str, float] = {}

@@ -130,6 +130,82 @@ def test_lgca_end_to_end_train_and_eval(tmp_path):
         assert v is None or 0.0 <= v <= 1.0
 
 
+def test_lgca_sharded_step_matches_single_device(tmp_path):
+    """The mesh-sharded LGCA train step (slice batch on the data axis, 3D
+    context volume replicated — the torch-data_parallel layout of
+    lgca_net_v3.py:600,615,622) must produce the SAME loss trajectory and
+    params as the single-device step: GSPMD keeps BN statistics global, so
+    sharding is purely a layout decision."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rpnet_tpu.core.synthetic import generate_dataset
+    from rpnet_tpu.episode.lgca_data import LGCAVolumeSampler
+    from rpnet_tpu.models.factory import model_factory
+    from rpnet_tpu.parallel.mesh import make_mesh
+    from rpnet_tpu.train.lgca import (evaluate_lgca_volume, init_lgca_state,
+                                      make_lgca_train_step,
+                                      sharded_lgca_train_step)
+    from rpnet_tpu.train.trainer import make_optimizer
+
+    paths = generate_dataset(str(tmp_path), n_train=2, n_test=1,
+                             shape=(16, 32, 32), seed=0)
+    cfg = Config({"data_dir": paths["data_dir"],
+                  "train_set_name": paths["train_csv"],
+                  "eval_set_name": paths["test_csv"],
+                  "net": "LGCANet_V3", "roi_names": ["Liver", "Spleen"],
+                  "num_slice": 16, "num_x": 32, "num_y": 32,
+                  "context_net_downsample_scale": [2, 2, 2],
+                  "lgca_slices": 8, "HU_range": [-1024, 3072],
+                  "init_lr": 1e-3, "unet_normalize_type": "BatchNorm2d"})
+    sampler = LGCAVolumeSampler(cfg["data_dir"], cfg["train_set_name"], cfg,
+                                mode="train")
+    s = sampler.sample(0, rng=np.random.RandomState(0))
+    batch = (s["volume"], s["slices"], s["mask"],
+             s["downsampled_volume_mask"])
+
+    model = model_factory["LGCANet_V3"](cfg)
+    opt = make_optimizer(cfg)
+    state0 = init_lgca_state(model, cfg, jax.random.PRNGKey(0), sampler,
+                             optimizer=opt)
+
+    mesh = make_mesh({"data": 8, "model": 1})
+    run = sharded_lgca_train_step(model, cfg, opt, mesh)
+    import copy
+    sh_state = jax.tree_util.tree_map(np.copy, state0)
+    sd_state = jax.tree_util.tree_map(np.copy, state0)
+    step = jax.jit(make_lgca_train_step(model, cfg, opt))
+
+    for _ in range(2):
+        sh_state, sh_m = run(sh_state, batch)
+        sd_state, sd_m = step(sd_state, tuple(map(jnp.asarray, batch)))
+        # sharded reductions (BN batch stats, grad sums) use a different
+        # reduction tree — equality holds to reduction-order noise only
+        np.testing.assert_allclose(float(sh_m["loss"]), float(sd_m["loss"]),
+                                   rtol=1e-3)
+    leaves_sh = jax.tree_util.tree_leaves(sh_state["params"])
+    leaves_sd = jax.tree_util.tree_leaves(sd_state["params"])
+    # Adam amplifies reduction-order noise (update ∝ g/√v is scale-free, so
+    # a near-zero gradient whose SIGN flips under a different reduction tree
+    # moves the param by ~lr); layout BUGS produce O(1) differences
+    for a, b in zip(leaves_sh, leaves_sd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+    # sharded eval chunk path
+    ev = LGCAVolumeSampler(cfg["data_dir"], cfg["eval_set_name"], cfg,
+                           mode="eval")
+    sample = ev.sample(0)
+    var = {"params": sh_state["params"], "batch_stats": sh_state["batch_stats"]}
+    d_mesh = evaluate_lgca_volume(model, var, sample, chunk=8, mesh=mesh)
+    d_single = evaluate_lgca_volume(model, var, sample, chunk=8)
+    for k in d_single:
+        if d_single[k] is None:
+            assert d_mesh[k] is None
+        else:
+            np.testing.assert_allclose(d_mesh[k], d_single[k], atol=1e-3)
+
+
 def test_lgca_cli_branches(tmp_path):
     """The CLIs route `net: LGCANet_V3` to the LGCA driver end to end."""
     import yaml as pyyaml
