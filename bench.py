@@ -49,6 +49,10 @@ def main():
     ap.add_argument("--dtype", default="float32",
                     help="network compute dtype (float32 | bfloat16); "
                          "registration and metrics always run f32")
+    ap.add_argument("--batch-episodes", type=int, default=1,
+                    help="episodes per dispatch (vmapped program): >1 "
+                         "amortizes the per-dispatch host gap and batches "
+                         "the small per-iteration convs")
     args = ap.parse_args()
 
     if args.platform:
@@ -91,10 +95,14 @@ def main():
         variables = jax.tree_util.tree_map(
             lambda x: x.astype(compute_dtype)
             if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, variables)
-    fn = jax.jit(episode_metrics_fn(model, affine_iters=args.affine_iters,
-                                    demons_iters=0, fit_scale=args.fit_scale,
-                                    sampler=args.sampler,
-                                    compute_dtype=compute_dtype))
+    raw_fn = episode_metrics_fn(model, affine_iters=args.affine_iters,
+                                demons_iters=0, fit_scale=args.fit_scale,
+                                sampler=args.sampler,
+                                compute_dtype=compute_dtype)
+    EB = max(1, args.batch_episodes)
+    if EB > 1:
+        raw_fn = jax.vmap(raw_fn, in_axes=(None,) + (0,) * 5)
+    fn = jax.jit(raw_fn)
 
     # synthetic episodes: misaligned ellipse organs (registration has real work)
     rng = np.random.RandomState(0)
@@ -115,10 +123,13 @@ def main():
                 jnp.asarray(qi), jnp.asarray(q), jnp.ones((Dq,), jnp.float32))
 
     eps = [episode(i) for i in range(max(2, min(args.episodes, 4)))]
+    if EB > 1:   # stack EB distinct episodes per dispatch
+        eps = [tuple(jnp.stack([eps[(j + i) % len(eps)][a] for i in range(EB)])
+                     for a in range(5)) for j in range(len(eps))]
 
     t0 = time.time()
     out = fn(variables, *eps[0])
-    _ = float(np.asarray(out["dsc_affine"]))   # force full round trip
+    _ = float(np.asarray(out["dsc_affine"]).ravel()[0])   # force full round trip
     log(f"compile+first episode: {time.time() - t0:.1f}s")
 
     # absolute-utilization context: XLA's own FLOP count for the compiled
@@ -129,7 +140,7 @@ def main():
         ca = fn.lower(variables, *eps[0]).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        flops_per_episode = float(ca.get("flops", 0.0)) or None
+        flops_per_episode = (float(ca.get("flops", 0.0)) / EB) or None
     except Exception as e:   # noqa: BLE001 — cost analysis is best-effort
         log(f"[cost_analysis unavailable: {e}]")
     # bf16 MXU peak per chip kind (public spec sheets); the episode program
@@ -139,14 +150,19 @@ def main():
 
     # steady state: queue all episodes, then fetch a scalar from each so the
     # measured wall time covers real device execution (not just dispatch)
+    n_disp = -(-args.episodes // EB)
+    n_measured = n_disp * EB
     t0 = time.time()
-    outs = [fn(variables, *eps[i % len(eps)]) for i in range(args.episodes)]
-    scalars = [float(np.asarray(o["dsc_affine"])) for o in outs]
+    outs = [fn(variables, *eps[i % len(eps)]) for i in range(n_disp)]
+    scalars = [float(np.asarray(o["dsc_affine"]).ravel()[0]) for o in outs]
     wall = time.time() - t0
-    out = outs[-1]
-    eps_per_sec = args.episodes / wall
+    out = jax.tree_util.tree_map(
+        lambda x: x.ravel()[0] if hasattr(x, "ravel") else x, outs[-1]) \
+        if EB > 1 else outs[-1]
+    eps_per_sec = n_measured / wall
     slices_per_sec = eps_per_sec * Dq
-    log(f"{args.episodes} episodes in {wall:.2f}s → {eps_per_sec:.3f} eps/s, "
+    log(f"{n_measured} episodes ({n_disp} dispatches) in {wall:.2f}s → "
+        f"{eps_per_sec:.3f} eps/s, "
         f"{slices_per_sec:.1f} slices/s; dsc_affine={float(out['dsc_affine']):.3f}")
 
     baseline = None
@@ -177,7 +193,8 @@ def main():
                       "achieved_tflops":
                           round(achieved / 1e12, 2) if achieved else None,
                       "mfu_vs_bf16_peak": round(mfu, 4) if mfu else None,
-                      "mode": f"fit_scale={args.fit_scale},{args.sampler}"}))
+                      "mode": f"fit_scale={args.fit_scale},{args.sampler}"
+                              + (f",batch{EB}" if EB > 1 else "")}))
 
 
 if __name__ == "__main__":
