@@ -28,6 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rpnet_tpu.ops.correlation import local_correlation, local_correlation_mxu
 from rpnet_tpu.ops.pallas.correlation import (local_correlation_pallas,
+                                              local_correlation_pallas_csub,
                                               local_correlation_pallas_mxu)
 
 
@@ -156,6 +157,15 @@ def main():
             check_and_time(f"pallas-mxu f32 ht={ht}",
                            functools.partial(local_correlation_pallas_mxu, r=r, h_tile=ht),
                            fm1, fm2)
+        for ht in (8, 16, 32):
+            check_and_time(f"pallas-csub f32 ht={ht}",
+                           functools.partial(local_correlation_pallas_csub,
+                                             r=r, h_tile=ht),
+                           fm1, fm2)
+        check_and_time("pallas-csub bf16 ht=16",
+                       functools.partial(local_correlation_pallas_csub,
+                                         r=r, h_tile=16),
+                       fm1h, fm2h)
         check_and_time("pallas bf16 ht=16",
                        functools.partial(local_correlation_pallas, r=r, h_tile=16),
                        fm1h, fm2h)

@@ -181,6 +181,79 @@ def local_correlation_pallas_mxu(fm1, fm2, r: int, h_tile: int = 16,
     return jnp.transpose(out, (0, 2, 3, 1)).astype(fm1.dtype)
 
 
+# ------------------------------------------- C-on-sublanes forward variant
+
+def _corr_csub_kernel(fm2p_hbm, fm1_ref, out_ref, scratch, sem, *,
+                      H_tile, W, r, scale):
+    """C-on-sublanes layout (round-2 perf-trace candidate 1).
+
+    fm1 arrives pre-transposed as (1, H_tile, C, W): W sits on lanes and C on
+    the sublane-tiled middle dim, so the channel reduction compiles to plain
+    vreg adds (C/8 per column) + a 3-stage intra-vreg sublane reduce, instead
+    of the ~7-stage cross-lane shuffle chain of _corr_kernel's C-on-lanes
+    layout. Trade-off: W=64 uses half the lane width.
+    """
+    d = 2 * r + 1
+    b = pl.program_id(0)
+    ht = pl.program_id(1)
+
+    dma = pltpu.make_async_copy(
+        fm2p_hbm.at[b, pl.ds(ht * H_tile, H_tile + 2 * r), :, :],
+        scratch, sem)
+    dma.start()
+    fm1 = fm1_ref[0]                        # (H_tile, C, W)
+    dma.wait()
+
+    def body(dy, _):
+        slab = scratch[pl.ds(dy, H_tile)]   # (H_tile, C, Wl)
+        for dx in range(d):                 # static lane slices
+            sub = slab[:, :, dx:dx + W]
+            acc = jnp.sum((fm1 * sub).astype(jnp.float32), axis=1) * scale
+            out_ref[0, dx * d + dy, :, :] = acc
+        return 0
+
+    jax.lax.fori_loop(0, d, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("r", "h_tile", "interpret"))
+def local_correlation_pallas_csub(fm1, fm2, r: int, h_tile: int = 16,
+                                  interpret: bool = False):
+    """C-on-sublanes local correlation; same contract/ordering as the others."""
+    B, H, W, C = fm1.shape
+    d = 2 * r + 1
+    scale = float(1.0 / np.sqrt(float(C)))
+    h_tile = min(h_tile, H)
+    if H % h_tile != 0:
+        h_tile = H
+    n_htiles = H // h_tile
+
+    fm1_t = jnp.transpose(fm1, (0, 1, 3, 2))            # (B, H, C, W)
+    fm2_t = jnp.transpose(fm2, (0, 1, 3, 2))
+    Wl = -(-(W + 2 * r) // 128) * 128                   # lane-pad the W dim
+    fm2p = jnp.pad(fm2_t, ((0, 0), (r, r), (0, 0), (r, Wl - W - r)))
+
+    kernel = functools.partial(_corr_csub_kernel, H_tile=h_tile, W=W, r=r,
+                               scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, d * d, H, W), jnp.float32),
+        grid=(B, n_htiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),       # fm2p off-chip
+            pl.BlockSpec((1, h_tile, C, W), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, d * d, h_tile, W), lambda b, h: (b, 0, h, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((h_tile + 2 * r, C, Wl), fm2.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(fm2p, fm1_t)
+    return jnp.transpose(out, (0, 2, 3, 1)).astype(fm1.dtype)
+
+
 # ------------------------------------------------------- backward kernel
 
 def _corr_bwd_kernel(gp5_hbm, fm1p_hbm, fm2p_hbm, dfm1_ref, dfm2_ref,

@@ -245,6 +245,18 @@ def test_pallas_mxu_kernel_matches_xla(rng):
     np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
+def test_pallas_csub_kernel_matches_xla(rng):
+    """C-on-sublanes layout variant ≡ the XLA local correlation."""
+    from rpnet_tpu.ops.pallas.correlation import local_correlation_pallas_csub
+
+    f1 = jnp.asarray(rng.randn(2, 16, 16, 64).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(2, 16, 16, 64).astype(np.float32))
+    ref = np.asarray(local_correlation(f1, f2, 3))
+    out = np.asarray(local_correlation_pallas_csub(f1, f2, 3, h_tile=8,
+                                                   interpret=True))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
 def test_pallas_trainable_vmap_and_grad_match_xla(rng):
     """pallas_correlation_trainable composes with the trainer's transforms:
     jit(grad(vmap(·))) must equal the XLA formulation (values AND grads) —
