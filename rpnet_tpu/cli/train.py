@@ -5,7 +5,9 @@
 Drives the trainer (train/trainer.py) with the YAML's optimizer block:
 episodic batches from the train-mode sampler, dice_ce + align loss, Adam with
 step decay, periodic orbax checkpoints (epoch_save), stdout tee + TensorBoard
-scalars, periodic eval on the eval split.
+scalars. Eval runs through the separate eval CLI against any saved epoch
+checkpoint (``ckpt: .../epoch_NNN`` — see bench_tools/train_eval_roundtrip.py
+for the full train→checkpoint→eval loop).
 """
 
 from __future__ import annotations

@@ -439,7 +439,8 @@ local_correlation_pallas_vjp.defvjp(_corr_fwd, _corr_bwd)
 # ------------------------------------------------- trainable + vmappable
 
 @functools.lru_cache(maxsize=None)
-def pallas_correlation_trainable(r: int, interpret: bool = False):
+def pallas_correlation_trainable(r: int, interpret: bool = False,
+                                 forward: str = "pallas"):
     """The Pallas correlation as a function that composes with BOTH vmap and
     reverse-mode autodiff — what the trainer needs (it vmaps episodes and
     differentiates, net/rp_net.py:283's CRE call under the batch loop).
@@ -456,9 +457,12 @@ def pallas_correlation_trainable(r: int, interpret: bool = False):
     """
     from jax import custom_batching
 
+    fwd_impl = (local_correlation_pallas_csub if forward == "csub"
+                else local_correlation_pallas)
+
     @custom_batching.custom_vmap
     def fwd_fn(fm1, fm2):
-        return local_correlation_pallas(fm1, fm2, r, interpret=interpret)
+        return fwd_impl(fm1, fm2, r, interpret=interpret)
 
     @fwd_fn.def_vmap
     def _rule(axis_size, in_batched, fm1, fm2):  # noqa: ANN001
@@ -533,7 +537,7 @@ def local_correlation_auto(fm1, fm2, r: int):
       * THIS Pallas kernel:   337 ms/episode   ← default on TPU
 
     Identical outputs (bit-exact vs XLA on TPU). Off-TPU (CPU tests) the XLA
-    formulation is used; RPNET_CORR_IMPL=xla|pallas|mxu overrides for
+    formulation is used; RPNET_CORR_IMPL=xla|pallas|mxu|csub overrides for
     experiments.
     """
     import os
@@ -542,9 +546,10 @@ def local_correlation_auto(fm1, fm2, r: int):
     on_tpu = jax.default_backend() == "tpu"
     if impl is None:
         impl = "pallas" if on_tpu else "xla"
-    if impl == "pallas" and on_tpu:
-        # differentiable AND vmappable (training vmaps episodes)
-        return pallas_correlation_trainable(r)(fm1, fm2)
+    if impl in ("pallas", "csub") and on_tpu:
+        # differentiable AND vmappable (training vmaps episodes); "csub" uses
+        # the C-on-sublanes forward with the same backward
+        return pallas_correlation_trainable(r, forward=impl)(fm1, fm2)
     if impl == "mxu":
         from rpnet_tpu.ops.correlation import local_correlation_mxu
         return local_correlation_mxu(fm1, fm2, r)

@@ -27,11 +27,14 @@ def ref_losses():
         if name not in sys.modules:
             _stub_module(name, dcmread=None, read=None, write=None,
                          make_dot=None)
+    # install the FUNCTIONAL torchvision stand-ins (test ordering must not
+    # matter: test_golden_parity's resnet tests need a working resnet18)
+    from tests.test_golden_parity import _TVBasicBlock, _tv_resnet18
     if "torchvision" not in sys.modules:
         tv = _stub_module("torchvision")
-        tv.models = _stub_module("torchvision.models", resnet18=None)
+        tv.models = _stub_module("torchvision.models", resnet18=_tv_resnet18)
         tv.models.resnet = _stub_module("torchvision.models.resnet",
-                                        BasicBlock=object)
+                                        BasicBlock=_TVBasicBlock)
     if "skimage" not in sys.modules:
         sk = _stub_module("skimage")
         sk.measure = _stub_module("skimage.measure")
