@@ -42,6 +42,13 @@ def main():
     ap.add_argument("--elastic", action="store_true",
                     help="enable elastic augmentation (episode diversity "
                          "for long runs)")
+    ap.add_argument("--deep-supervision", action="store_true",
+                    help="supervise every refinement iteration (contraction "
+                         "training — needed for monotone test-time "
+                         "refinement past the train horizon)")
+    ap.add_argument("--train-iters", type=int, default=4,
+                    help="n_iter_refinement at TRAIN time (eval always "
+                         "extends to 10, test_rpnet.py:51)")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--workdir", default="/tmp/rpnet_roundtrip")
     args = ap.parse_args()
@@ -69,7 +76,9 @@ def main():
         crop_size=[S, S], pad_value=-1024, HU_range=[-1024, 3072],
         n_shot=1, n_way=1, k=args.k,
         train_classes=["Spleen"], eval_classes=["Liver"],
-        backbone="UNet", n_iter_refinement=4, n_test_iter_refinement=10,
+        backbone="UNet", n_iter_refinement=args.train_iters,
+        n_test_iter_refinement=10,
+        deep_supervision=bool(args.deep_supervision),
         mask_refinement_correlation_radius=5, soft_mask=False,
         reg_affine_iters=50, do_deformable=False, reg_fit_scale=4,
         slice_bucket=args.k, max_slices=32,

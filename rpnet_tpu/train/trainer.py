@@ -110,6 +110,7 @@ def make_train_step(model, config, optimizer) -> Callable:
     n_way = int(config.get("n_way", 1))
     align_scaler = float(config.get("align_loss_scaler", 1.0))
     use_registration = bool(config.get("use_registration_loss", True))
+    deep_supervision = bool(config.get("deep_supervision", False))
     compute_dtype = jnp.dtype(config.get("compute_dtype", "float32"))
     from rpnet_tpu.models.losses import make_seg_loss
     seg_loss = make_seg_loss(config.get("loss", "dice_ce"))
@@ -158,7 +159,17 @@ def make_train_step(model, config, optimizer) -> Callable:
             train=True, mutable=["batch_stats"])
         logits = out["output"].astype(jnp.float32)
         labels = qry_lab.astype(jnp.int32)
-        seg = seg_loss(logits, labels)
+        if deep_supervision:
+            # supervise EVERY refinement iteration (mean over the scan axis):
+            # the recurrence is then trained to map ANY intermediate mask
+            # toward GT — a contraction — instead of only the T-step
+            # composite, which drifts when eval extends the horizon
+            # (test_rpnet.py:51 runs 10 iterations on a net trained at 4;
+            # measured: final-only training peaks at iter 1-2 and decays)
+            refl = out["refinement"].astype(jnp.float32)      # (T, B, H, W, C)
+            seg = jnp.mean(jax.vmap(lambda lg: seg_loss(lg, labels))(refl))
+        else:
+            seg = seg_loss(logits, labels)
         loss = seg + align_scaler * out["align_loss"].astype(jnp.float32)
         metrics = {"seg_loss": seg, "align_loss": out["align_loss"]}
         new_stats = jax.tree_util.tree_map(
