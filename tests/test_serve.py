@@ -1,0 +1,108 @@
+"""AOT serving-artifact tests (rpnet_tpu.serve.export): the exported
+StableHLO episode program must reproduce the live jitted program bit-for-bit
+and reload without the model definition in scope."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rpnet_tpu.config import Config
+from rpnet_tpu.episode.pipeline import episode_metrics_fn
+from rpnet_tpu.models.factory import model_factory
+from rpnet_tpu.serve.export import (FORMAT_VERSION, export_episode_program,
+                                    load_artifact, save_artifact)
+from rpnet_tpu.utils.device import init_on_host_cpu
+
+H = W = 32
+DQ = 8
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = Config({"backbone": "UNet", "crop_size": [H, W],
+                  "n_iter_refinement": 2,
+                  "mask_refinement_correlation_radius": 2})
+    model = model_factory["RP_Net"](cfg, num_iter=2)
+    dummy = (jnp.zeros((1, 1, 1, H, W, 1)), jnp.zeros((1, 1, 1, H, W)),
+             jnp.ones((1, 1, 1, H, W)), jnp.zeros((1, H, W, 1)),
+             jnp.zeros((1, H, W)))
+    variables = init_on_host_cpu(model, jax.random.PRNGKey(0), dummy)
+    r = np.random.RandomState(0)
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    blob = (((yy - 14.0) / 8) ** 2 + ((xx - 17.0) / 9) ** 2 < 1).astype(np.float32)
+    qlab = (((yy - 17.0) / 8) ** 2 + ((xx - 14.0) / 9) ** 2 < 1).astype(np.float32)
+    supp = np.repeat(blob[None], DQ, 0)
+    qry = np.repeat(qlab[None], DQ, 0)
+    ep = (jnp.asarray((supp * 0.8 - 0.5 + 0.05 * r.randn(DQ, H, W))
+                      .astype(np.float32))[None],
+          jnp.asarray(supp)[None],
+          jnp.asarray((qry * 0.8 - 0.5 + 0.05 * r.randn(DQ, H, W))
+                      .astype(np.float32)),
+          jnp.asarray(qry),
+          jnp.ones((DQ,), jnp.float32))
+    return model, variables, ep
+
+
+def test_export_roundtrip_matches_live(tiny, tmp_path):
+    model, variables, ep = tiny
+    kw = dict(affine_iters=6, demons_iters=0, fit_scale=2)
+    live = jax.jit(episode_metrics_fn(model, **kw))(variables, *ep)
+
+    exported = export_episode_program(model, variables, slices=DQ, height=H,
+                                      width=W, platforms=["cpu"], **kw)
+    art = save_artifact(exported, str(tmp_path / "artifact"),
+                        extra_manifest={"crop": [H, W]})
+
+    prog = load_artifact(art)
+    out = prog(variables, *ep)
+    assert set(out) == set(live)
+    for k in ("dsc_affine", "dsc_fewshot", "dsc_refinement"):
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(live[k]),
+                                   rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out["prediction"]),
+                                  np.asarray(live["prediction"]))
+    # registration really worked inside the artifact (6 iters on misaligned
+    # ellipses: well above the ~0.45 unregistered overlap, below convergence)
+    assert float(out["dsc_affine"]) > 0.6
+
+
+def test_manifest_contents(tiny, tmp_path):
+    model, variables, ep = tiny
+    exported = export_episode_program(model, variables, slices=DQ, height=H,
+                                      width=W, platforms=["cpu"],
+                                      affine_iters=2, fit_scale=2)
+    art = save_artifact(exported, str(tmp_path / "a"))
+    man = json.load(open(os.path.join(art, "manifest.json")))
+    assert man["format_version"] == FORMAT_VERSION
+    assert man["platforms"] == ["cpu"]
+    assert man["jax_version"] == jax.__version__
+    assert man["nr_devices"] == 1
+    assert any("32,32" in s.replace(" ", "") for s in man["in_avals"])
+
+
+def test_load_errors(tiny, tmp_path):
+    model, variables, ep = tiny
+    with pytest.raises(FileNotFoundError):
+        load_artifact(str(tmp_path / "missing"))
+    exported = export_episode_program(model, variables, slices=DQ, height=H,
+                                      width=W, platforms=["cpu"],
+                                      affine_iters=2, fit_scale=2)
+    art = save_artifact(exported, str(tmp_path / "b"))
+    # future format version must refuse to load
+    man_path = os.path.join(art, "manifest.json")
+    man = json.load(open(man_path))
+    man["format_version"] = FORMAT_VERSION + 1
+    json.dump(man, open(man_path, "w"))
+    with pytest.raises(ValueError, match="newer"):
+        load_artifact(art)
+    # corrupt program blob must fail loudly, not return garbage
+    json.dump({"format_version": FORMAT_VERSION}, open(man_path, "w"))
+    with open(os.path.join(art, "program.jaxexport"), "wb") as f:
+        f.write(b"not a program")
+    with pytest.raises(Exception):
+        load_artifact(art)
