@@ -85,6 +85,34 @@ def test_manifest_contents(tiny, tmp_path):
     assert any("32,32" in s.replace(" ", "") for s in man["in_avals"])
 
 
+def test_export_cli_end_to_end(tmp_path):
+    """YAML → python -m rpnet_tpu.cli.export → loadable artifact that runs."""
+    import yaml
+
+    from rpnet_tpu.cli.export import main as export_main
+
+    cfg = dict(net="RP_Net", backbone="UNet", crop_size=[H, W],
+               n_iter_refinement=2, n_test_iter_refinement=2,
+               mask_refinement_correlation_radius=2,
+               reg_affine_iters=4, reg_fit_scale=2, slice_bucket=DQ)
+    ypath = tmp_path / "cfg.yml"
+    ypath.write_text(yaml.safe_dump(cfg))
+    art = export_main(["--yaml", str(ypath), "--out", str(tmp_path / "art"),
+                       "--platforms", "cpu"])
+    prog = load_artifact(art)
+    assert prog.manifest["net"] == "RP_Net"
+    assert prog.manifest["slices"] == DQ
+    assert prog.manifest["n_params"] > 1e6
+    # the artifact runs with freshly-initialized weights of the same tree
+    # (weights are INPUTS: a new checkpoint serves without re-export)
+    from rpnet_tpu.cli.export import build_variables
+    _, variables, _ = build_variables(Config(cfg), seed=7)
+    q = jnp.zeros((DQ, H, W), jnp.float32)
+    s = q[None]
+    out = prog(variables, s - 0.5, s, q - 0.5, q, jnp.ones((DQ,), jnp.float32))
+    assert np.isfinite(float(out["dsc_fewshot"]))
+
+
 def test_load_errors(tiny, tmp_path):
     model, variables, ep = tiny
     with pytest.raises(FileNotFoundError):
