@@ -38,7 +38,7 @@ def local_correlation(fm1, fm2, r: int):
     slowest. Checkpoint conversion of the downstream 1×1 conv depends on this.
     """
     N, H, W, C = fm1.shape
-    scale = 1.0 / np.sqrt(float(C))
+    scale = float(1.0 / np.sqrt(float(C)))   # python float: weak type, preserves bf16
     d = 2 * r + 1
     fm2_pad = jnp.pad(fm2, ((0, 0), (r, r), (r, r), (0, 0)))
     outs = []
@@ -70,7 +70,7 @@ def local_correlation_mxu(fm1, fm2, r: int, precision=None):
     B, H, W, C = fm1.shape
     d = 2 * r + 1
     V = W + 2 * r
-    scale = 1.0 / np.sqrt(float(C))
+    scale = float(1.0 / np.sqrt(float(C)))   # python float: weak type, preserves bf16
     fm2p = jnp.pad(fm2, ((0, 0), (r, r), (r, r), (0, 0)))
     # banded extraction: M[dx, w, v] = 1 iff v == w + dx
     band = (np.arange(V)[None, None, :]

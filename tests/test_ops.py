@@ -353,3 +353,21 @@ def test_grid_sample_matmul_chunked_non_divisible_rows(rng):
     out_c = grid_sample_matmul_chunked(x, grid, row_chunk=16)   # 25 % 16 != 0
     out_f = grid_sample(x, grid)
     np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_f), atol=1e-5)
+
+
+def test_local_correlation_preserves_bf16(rng):
+    """bf16 in → bf16 out for BOTH XLA impls (the eval default runs the
+    network in bf16; a float32-promoting correlation broke the refinement
+    scan's carry dtype — np-scalar scale was strongly typed)."""
+    from rpnet_tpu.ops.correlation import local_correlation_mxu
+
+    B, H, W, C, r = 2, 8, 8, 16, 2
+    f1 = jnp.asarray(rng.randn(B, H, W, C), jnp.bfloat16)
+    f2 = jnp.asarray(rng.randn(B, H, W, C), jnp.bfloat16)
+    out = local_correlation(f1, f2, r)
+    out_mxu = local_correlation_mxu(f1, f2, r)
+    assert out.dtype == jnp.bfloat16
+    assert out_mxu.dtype == jnp.bfloat16
+    ref = local_correlation(f1.astype(jnp.float32), f2.astype(jnp.float32), r)
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
+                               atol=0.15)
