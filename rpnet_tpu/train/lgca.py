@@ -129,6 +129,10 @@ def evaluate_lgca_volume(model: LGCANetV3, variables, sample,
     fwd = _lgca_eval_fwd(model)
     put = lambda sl: jnp.asarray(sl)
     if mesh is not None:
+        # the padded chunk shards over the data axis — round it up so any
+        # mesh size divides it (padded slices are sliced off below)
+        n_data = int(mesh.shape["data"])
+        chunk = -(-chunk // n_data) * n_data
         from jax.sharding import NamedSharding
         from jax.sharding import PartitionSpec as P
         repl = NamedSharding(mesh, P())
