@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--elastic", action="store_true",
                     help="enable elastic augmentation (episode diversity "
                          "for long runs)")
+    ap.add_argument("--ds-weights", default="equal",
+                    choices=["equal", "linear"],
+                    help="deep-supervision weighting over iterations "
+                         "(linear = weight ∝ iter index + 1)")
     ap.add_argument("--deep-supervision", action="store_true",
                     help="supervise every refinement iteration (contraction "
                          "training — needed for monotone test-time "
@@ -79,6 +83,7 @@ def main():
         backbone="UNet", n_iter_refinement=args.train_iters,
         n_test_iter_refinement=10,
         deep_supervision=bool(args.deep_supervision),
+        deep_supervision_weights=args.ds_weights,
         mask_refinement_correlation_radius=5, soft_mask=False,
         reg_affine_iters=50, do_deformable=False, reg_fit_scale=4,
         slice_bucket=args.k, max_slices=32,

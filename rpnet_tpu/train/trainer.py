@@ -111,7 +111,14 @@ def make_train_step(model, config, optimizer) -> Callable:
     align_scaler = float(config.get("align_loss_scaler", 1.0))
     use_registration = bool(config.get("use_registration_loss", True))
     deep_supervision = bool(config.get("deep_supervision", False))
-    compute_dtype = jnp.dtype(config.get("compute_dtype", "float32"))
+    # "equal" (run C: pushes iter 0 to do all the work) | "linear" (weight
+    # ∝ iteration index + 1: every horizon gets signal, later ones dominate —
+    # contraction pressure without sacrificing the endpoint)
+    ds_weights = str(config.get("deep_supervision_weights", "equal"))
+    # train default stays f32 (compute_dtype: None = auto): the bf16 train
+    # step measured SLOWER (0.217 vs 0.200 s, docs/perf_trace_r3.md) — the
+    # step is registration/correlation-bound, not weight-MXU-bound
+    compute_dtype = jnp.dtype(config.get("compute_dtype") or "float32")
     from rpnet_tpu.models.losses import make_seg_loss
     seg_loss = make_seg_loss(config.get("loss", "dice_ce"))
 
@@ -167,7 +174,12 @@ def make_train_step(model, config, optimizer) -> Callable:
             # (test_rpnet.py:51 runs 10 iterations on a net trained at 4;
             # measured: final-only training peaks at iter 1-2 and decays)
             refl = out["refinement"].astype(jnp.float32)      # (T, B, H, W, C)
-            seg = jnp.mean(jax.vmap(lambda lg: seg_loss(lg, labels))(refl))
+            per_iter = jax.vmap(lambda lg: seg_loss(lg, labels))(refl)  # (T,)
+            if ds_weights == "linear":
+                w = jnp.arange(1, per_iter.shape[0] + 1, dtype=jnp.float32)
+                seg = jnp.sum(per_iter * w / jnp.sum(w))
+            else:
+                seg = jnp.mean(per_iter)
         else:
             seg = seg_loss(logits, labels)
         loss = seg + align_scaler * out["align_loss"].astype(jnp.float32)

@@ -179,6 +179,16 @@ def test_train_step_deep_supervision(rng):
         segs[ds] = float(metrics["seg_loss"])
     assert segs[True] != segs[False]   # the iterates really enter the loss
 
+    # linear weighting (weight ∝ iter+1) is a third distinct loss surface
+    cfg = Config(dict(base, deep_supervision=True,
+                      deep_supervision_weights="linear"))
+    model = model_factory["RP_Net"](cfg, align=True, num_iter=2)
+    state = init_train_state(model, cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(model, cfg, make_optimizer(cfg)))
+    _, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["seg_loss"]) not in (segs[True], segs[False])
+
 
 def test_train_step_mixed_precision_bf16(rng):
     """compute_dtype: bfloat16 trains with f32 master params: loss finite,
