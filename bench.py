@@ -46,9 +46,11 @@ def main():
     ap.add_argument("--fit-scale", type=int, default=4,
                     help="registration fit resolution divisor (1 = reference-"
                          "exact trajectory; theta is resolution-invariant)")
-    ap.add_argument("--dtype", default="float32",
-                    help="network compute dtype (float32 | bfloat16); "
-                         "registration and metrics always run f32")
+    ap.add_argument("--dtype", default="bfloat16",
+                    help="network compute dtype (bfloat16 default, matching "
+                         "the framework eval default — round-3 A/B in "
+                         "docs/perf_trace_r3.md; registration and metrics "
+                         "always run f32)")
     ap.add_argument("--batch-episodes", type=int, default=1,
                     help="episodes per dispatch (vmapped program): >1 "
                          "amortizes the per-dispatch host gap and batches "
@@ -102,7 +104,7 @@ def main():
     EB = max(1, args.batch_episodes)
     if EB > 1:
         raw_fn = jax.vmap(raw_fn, in_axes=(None,) + (0,) * 5)
-    fn = jax.jit(raw_fn)
+    jfn = jax.jit(raw_fn)
 
     # synthetic episodes: misaligned ellipse organs (registration has real work)
     rng = np.random.RandomState(0)
@@ -127,7 +129,11 @@ def main():
         eps = [tuple(jnp.stack([eps[(j + i) % len(eps)][a] for i in range(EB)])
                      for a in range(5)) for j in range(len(eps))]
 
+    # compile ONCE (AOT) — the jit call cache would not reuse a separate
+    # lower().compile(), so reading cost_analysis off the same compiled
+    # object avoids paying compilation twice on cache-miss runs
     t0 = time.time()
+    fn = jfn.lower(variables, *eps[0]).compile()
     out = fn(variables, *eps[0])
     _ = float(np.asarray(out["dsc_affine"]).ravel()[0])   # force full round trip
     log(f"compile+first episode: {time.time() - t0:.1f}s")
@@ -137,7 +143,7 @@ def main():
     # about roofline position)
     flops_per_episode = None
     try:
-        ca = fn.lower(variables, *eps[0]).compile().cost_analysis()
+        ca = fn.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         flops_per_episode = (float(ca.get("flops", 0.0)) / EB) or None
@@ -194,6 +200,7 @@ def main():
                           round(achieved / 1e12, 2) if achieved else None,
                       "mfu_vs_bf16_peak": round(mfu, 4) if mfu else None,
                       "mode": f"fit_scale={args.fit_scale},{args.sampler}"
+                              f",{args.dtype}"
                               + (f",batch{EB}" if EB > 1 else "")}))
 
 

@@ -133,7 +133,13 @@ _DEFAULTS: Dict[str, Any] = {
     "mesh_shape": None,        # e.g. {"data": 8}; None = all devices on "data"
     "slice_bucket": 32,        # pad #query-slices to a multiple of this (static shapes)
     "max_slices": 288,         # hard cap on padded query slices per episode
-    "compute_dtype": "float32",
+    "compute_dtype": None,     # None = auto: bfloat16 network at eval/serving
+                               # (registration + metrics stay f32), float32 at
+                               # train. Set explicitly to pin either driver
+                               # (round-3 A/B: bf16 eval +5% eps/s, ≤0.004
+                               # dice delta at 10 refinement iters on a
+                               # trained ckpt; bf16 TRAIN measured slower —
+                               # docs/perf_trace_r3.md).
     "use_pallas": True,        # use Pallas correlation kernel on TPU
     "use_native_io": True,     # C++ NRRD decoder + raw cache (core/native_cache)
     "io_cache_dir": None,      # where .rawcache files go (default: beside the NRRDs)

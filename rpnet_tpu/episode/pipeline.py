@@ -156,7 +156,11 @@ class EpisodeRunner:
         sampler = str(config.get("reg_sampler", "matmul"))
         multishot = bool(config.get("multishot_fusion", False))
         use_registration = bool(config.get("use_registration_loss", True))
-        compute_dtype = jnp.dtype(config.get("compute_dtype", "float32"))
+        # eval default is bf16 (round-3 A/B: +5% eps/s; ≤0.004 dice delta
+        # at 10 iterations on a trained 256² checkpoint, affine identical —
+        # docs/perf_trace_r3.md); explicit compute_dtype pins it (golden
+        # tests: f32)
+        compute_dtype = jnp.dtype(config.get("compute_dtype") or "bfloat16")
         if compute_dtype != jnp.float32:
             # cast params once; BN stats/scales in bf16 are standard inference
             # practice (registration + metrics remain f32 inside the fn)
