@@ -87,30 +87,13 @@ def build_model_and_runner(config: Config, seed: int = 0):
     mesh_shape = config.get("mesh_shape")
     local = jax.local_devices()
     if mesh_shape or len(local) > 1:
-        from rpnet_tpu.parallel.mesh import make_mesh
-        shape = dict(mesh_shape) if mesh_shape else None
-        pcount = jax.process_count()
-        if shape and pcount > 1:
-            # a mesh_shape sized for the GLOBAL device count (the natural way
-            # to write the YAML) is reinterpreted per-process: divide the
-            # data axis by process_count when that lands on the local count
-            total = int(np.prod(list(shape.values())))
-            data = int(shape.get("data", 1))
-            if (total != len(local) and data % pcount == 0
-                    and total // pcount == len(local)):
-                shape["data"] = data // pcount
-                print(f"[mesh_shape data axis {data} split over {pcount} "
-                      f"processes → {shape['data']} local]")
-            elif total != len(local):
-                raise ValueError(
-                    f"mesh_shape {dict(mesh_shape)} needs {total} devices but "
-                    f"eval meshes span only this process's {len(local)} local "
-                    f"devices (episodes shard across processes); use a "
-                    f"per-process shape or a data axis divisible by "
-                    f"process_count={pcount}")
-        mesh = make_mesh(shape, devices=local)
+        from rpnet_tpu.parallel.mesh import resolve_local_mesh
+        mesh = resolve_local_mesh(mesh_shape, devices=local)
         print(f"[mesh {dict(mesh.shape)} over {len(local)} local devices]")
     runner = EpisodeRunner(model, variables, config, mesh=mesh)
+    dt = config.get("compute_dtype") or "bfloat16 (auto)"
+    print(f"[network compute dtype {dt}; registration/metrics f32 — "
+          f"set compute_dtype to override]")
     return model, variables, runner, start_epoch
 
 
@@ -331,14 +314,15 @@ def eval_lgca(config, out_dir):
         variables, _ = restore_into(variables, config["ckpt"],
                                     model_name="LGCANet_V3")
 
-    # multi-chip: shard each eval slice-chunk over the data axis
+    # multi-chip: shard each eval slice-chunk over the data axis (the chunk
+    # rounds up to a multiple of the axis inside evaluate_lgca_volume; a
+    # global-count mesh_shape is reinterpreted per-process like RP_Net eval)
     mesh = None
     mesh_shape = config.get("mesh_shape")
     local = jax.local_devices()
     if mesh_shape or len(local) > 1:
-        from rpnet_tpu.parallel.mesh import make_mesh
-        mesh = make_mesh(dict(mesh_shape) if mesh_shape else None,
-                         devices=local)
+        from rpnet_tpu.parallel.mesh import resolve_local_mesh
+        mesh = resolve_local_mesh(mesh_shape, devices=local)
         print(f"[LGCA mesh {dict(mesh.shape)} over {len(local)} local devices]")
 
     rois = list(config["roi_names"])

@@ -110,24 +110,10 @@ def train_lgca(config, args, out_dir):
     local = jax.local_devices()
     slices_per_step = int(config.get("lgca_slices", 8))
     if mesh_shape or len(local) > 1:
-        from rpnet_tpu.parallel.mesh import make_mesh
+        from rpnet_tpu.parallel.mesh import resolve_local_mesh
         from rpnet_tpu.train.lgca import sharded_lgca_train_step
-        shape = dict(mesh_shape) if mesh_shape else None
-        if shape is None:
-            # auto mesh: the data axis must divide the slice batch — use the
-            # largest divisor of lgca_slices that fits the device count (a
-            # 4-slice batch on 8 chips runs dp=4, not a shape error)
-            data = max(d for d in range(1, len(local) + 1)
-                       if slices_per_step % d == 0)
-            shape = {"data": data, "model": 1}
-            mesh = make_mesh(shape, devices=local[:data])
-        else:
-            if slices_per_step % int(shape.get("data", 1)) != 0:
-                raise ValueError(
-                    f"mesh_shape data axis {shape.get('data')} must divide "
-                    f"lgca_slices={slices_per_step} (the slice batch shards "
-                    f"over the data axis)")
-            mesh = make_mesh(shape, devices=local)
+        mesh = resolve_local_mesh(mesh_shape, devices=local,
+                                  batch_divisor=slices_per_step)
         print(f"[LGCA mesh {dict(mesh.shape)} over "
               f"{mesh.devices.size} local devices]")
         step = sharded_lgca_train_step(model, config, optimizer, mesh)

@@ -117,6 +117,57 @@ def make_mesh(shape: Optional[Dict[str, int]] = None, devices=None) -> Mesh:
     return Mesh(arr, axis_names=("data", "model"))
 
 
+def resolve_local_mesh(mesh_shape: Optional[Dict[str, int]], devices=None,
+                       batch_divisor: Optional[int] = None,
+                       label: str = "mesh") -> Mesh:
+    """Build the per-process mesh every data-sharded DRIVER uses.
+
+    Drivers (RP_Net eval, LGCA train/eval) shard a batch axis over ``data``
+    on THIS process's local devices; episodes/volumes shard across processes
+    separately. This helper centralizes the two policies the call sites were
+    each reimplementing:
+
+    * ``mesh_shape`` sized for the GLOBAL device count on a multi-process pod
+      (the natural way to write the YAML) is reinterpreted per-process — the
+      data axis divides by ``jax.process_count()`` when that lands on the
+      local device count; anything else is a clear error.
+    * ``batch_divisor`` (e.g. the LGCA slice batch) constrains the data axis:
+      the AUTO mesh picks the largest divisor of it that fits the device
+      count (a 4-slice batch on 8 chips runs dp=4, not a shape error); an
+      EXPLICIT shape that cannot divide the batch raises.
+    """
+    local = list(devices) if devices is not None else jax.local_devices()
+    shape = dict(mesh_shape) if mesh_shape else None
+    if shape is not None:
+        pcount = jax.process_count()
+        if pcount > 1:
+            total = int(np.prod(list(shape.values())))
+            data = int(shape.get("data", 1))
+            if (total != len(local) and data % pcount == 0
+                    and total // pcount == len(local)):
+                shape["data"] = data // pcount
+                print(f"[{label}_shape data axis {data} split over {pcount} "
+                      f"processes → {shape['data']} local]")
+            elif total != len(local):
+                raise ValueError(
+                    f"mesh_shape {dict(mesh_shape)} needs {total} devices but "
+                    f"meshes span only this process's {len(local)} local "
+                    f"devices (work shards across processes); use a "
+                    f"per-process shape or a data axis divisible by "
+                    f"process_count={pcount}")
+        if (batch_divisor is not None
+                and batch_divisor % int(shape.get("data", 1)) != 0):
+            raise ValueError(
+                f"mesh_shape data axis {shape.get('data')} must divide the "
+                f"sharded batch size {batch_divisor}")
+        return make_mesh(shape, devices=local)
+    if batch_divisor is not None:
+        data = max(d for d in range(1, len(local) + 1)
+                   if batch_divisor % d == 0)
+        return make_mesh({"data": data, "model": 1}, devices=local[:data])
+    return make_mesh(None, devices=local)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

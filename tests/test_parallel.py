@@ -26,6 +26,28 @@ def test_mesh_shapes():
         make_mesh({"data": 3})
 
 
+def test_resolve_local_mesh_policies():
+    """The shared driver-mesh resolver (cli/test_rpnet + cli/train LGCA)."""
+    from rpnet_tpu.parallel.mesh import resolve_local_mesh
+
+    # auto + batch_divisor: largest divisor of the batch that fits the
+    # device count (a 4-slice batch on 8 devices → dp=4, not an error)
+    mesh = resolve_local_mesh(None, batch_divisor=4)
+    assert dict(mesh.shape) == {"data": 4, "model": 1}
+    # a prime batch larger than the device count still resolves (dp=1)
+    mesh = resolve_local_mesh(None, batch_divisor=13)
+    assert dict(mesh.shape) == {"data": 1, "model": 1}
+    # auto without a divisor: all local devices on data
+    mesh = resolve_local_mesh(None)
+    assert dict(mesh.shape) == {"data": 8, "model": 1}
+    # explicit shape passes through on a single process
+    mesh = resolve_local_mesh({"data": 4, "model": 2})
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    # explicit shape that cannot divide the sharded batch is a clear error
+    with pytest.raises(ValueError, match="must divide"):
+        resolve_local_mesh({"data": 8}, batch_divisor=4)
+
+
 def test_param_sharding_rule(rng):
     mesh = make_mesh({"data": 4, "model": 2})
     cfg = _tiny_cfg()
