@@ -81,12 +81,11 @@ def main(argv=None):
     config = config.replace(n_iter_refinement=config["n_test_iter_refinement"])
     model, variables, (Sh, H, W) = build_variables(config)
 
-    compute_dtype = jnp.dtype(config.get("compute_dtype", "float32"))
-    if compute_dtype != jnp.float32:   # same param cast as EpisodeRunner
-        variables = jax.tree_util.tree_map(
-            lambda x: x.astype(compute_dtype)
-            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
-            variables)
+    # serving artifacts follow the eval default: bf16 network unless the
+    # YAML pins compute_dtype (docs/perf_trace_r3.md). Weight INPUTS stay
+    # f32 — the exported program casts internally, so any orbax checkpoint
+    # serves without re-export or caller-side casting.
+    compute_dtype = jnp.dtype(config.get("compute_dtype") or "bfloat16")
     slices = int(args.slices or config.get("slice_bucket", 32))
     platforms = args.platforms.split(",") if args.platforms else None
 
@@ -99,6 +98,9 @@ def main(argv=None):
         sampler=str(config.get("reg_sampler", "matmul")),
         multishot=bool(config.get("multishot_fusion", False)),
         n_way=int(config.get("n_way", 1)),
+        use_registration=bool(config.get("use_registration_loss", True)),
+        reg_lr=float(config.get("reg_lr", 0.01)),
+        reg_sigma=float(config.get("reg_sigma", 2.0)),
         compute_dtype=compute_dtype, platforms=platforms)
     nparams = sum(int(np.prod(x.shape)) for x in
                   jax.tree_util.tree_leaves(variables) if hasattr(x, "shape"))

@@ -60,11 +60,15 @@ def export_episode_program(model, variables, *, slices: int, height: int,
                            fit_scale: int = 4, sampler: str = "matmul",
                            compute_dtype=jnp.float32,
                            multishot: bool = False, n_way: int = 1,
+                           use_registration: bool = True,
+                           reg_lr: float = 0.01, reg_sigma: float = 2.0,
                            platforms: Optional[Sequence[str]] = None):
     """Lower + export the fused episode program; returns `jax.export.Exported`.
 
     `variables` is only read for its shape/dtype tree — weights are inputs
-    of the exported computation.
+    of the exported computation. With ``compute_dtype=bfloat16`` the weight
+    INPUTS stay float32 (any orbax checkpoint serves without casting) and
+    the cast to the network dtype happens inside the exported program.
     """
     from jax import export as jexport
 
@@ -73,7 +77,17 @@ def export_episode_program(model, variables, *, slices: int, height: int,
     fn = episode_metrics_fn(model, affine_iters=affine_iters,
                             demons_iters=demons_iters, fit_scale=fit_scale,
                             sampler=sampler, multishot=multishot,
-                            n_way=n_way, compute_dtype=compute_dtype)
+                            n_way=n_way, compute_dtype=compute_dtype,
+                            use_registration=use_registration,
+                            reg_lr=reg_lr, reg_sigma=reg_sigma)
+    if jnp.dtype(compute_dtype) != jnp.float32:
+        inner = fn
+
+        def fn(variables, *episode_arrays):  # noqa: F811 — dtype-cast wrapper
+            variables = jax.tree_util.tree_map(
+                lambda x: x.astype(compute_dtype)
+                if x.dtype == jnp.float32 else x, variables)
+            return inner(variables, *episode_arrays)
     # the Pallas/Mosaic correlation lowering is a tpu_custom_call, which is
     # outside jax.export's stable-ABI custom-call list — opt in explicitly
     # (the manifest pins the jax version for the loader to check)
