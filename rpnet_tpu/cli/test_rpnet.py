@@ -158,19 +158,21 @@ def evaluate(runner: EpisodeRunner, sampler: EpisodeSampler, config: Config):
     rec_ref = np.full((n_eps, T), np.nan, np.float64)
     failures = 0
 
-    for j in my_idxs:
-        try:
-            with timer.stage("data"):
-                ep = fetch(j)
-            with timer.stage("episode_compute"):
-                res = runner.run(ep)
-        except Exception:
-            failures += 1
-            print(f"{j} EPISODE FAILED — skipping:\n{traceback.format_exc()}")
-            continue
-        cls = eval_classes[ep.class_id]
-        supp_pid = sampler.data_info[ep.supp_pids[0][0]][ep.supp_pids[0][1]]["pid"]
+    def settle(pending):
+        """Fetch + record + print a dispatched episode (blocks on the device).
 
+        Returns the failures increment — device-side errors (NaN guards,
+        runtime faults) surface HERE under jax async dispatch, so they are
+        attributed to the episode that actually failed.
+        """
+        j, ep = pending[0], pending[1]
+        try:
+            with timer.stage("episode_compute"):
+                res = runner.finalize(pending[2], ep, arrays=False)
+        except Exception:
+            print(f"{j} EPISODE FAILED — skipping:\n{traceback.format_exc()}")
+            return 1
+        supp_pid = sampler.data_info[ep.supp_pids[0][0]][ep.supp_pids[0][1]]["pid"]
         print(f"{j} {ep.pid} {supp_pid} affine ({res['ncc_warped']:.4f}, "
               f"{res['ncc_raw']:.4f}) {res['dsc_affine']}, "
               f"fewshot {res['dsc_fewshot']}", end=" ")
@@ -184,6 +186,31 @@ def evaluate(runner: EpisodeRunner, sampler: EpisodeSampler, config: Config):
                 rec_ref[j, int(it)] = v
             print(f"ref {it} {v}, ", end=" ")
         print()
+        return 0
+
+    # software pipeline: assemble + dispatch episode j, THEN settle episode
+    # j-1 while the device computes j (one episode in flight — the device
+    # never idles on host fetch/print/assembly, and print order stays
+    # strictly by index)
+    pending = None
+    for j in my_idxs:
+        try:
+            with timer.stage("data"):
+                ep = fetch(j)
+            with timer.stage("dispatch"):
+                out = runner.dispatch(ep)
+        except Exception:
+            if pending is not None:
+                failures += settle(pending)
+                pending = None
+            failures += 1
+            print(f"{j} EPISODE FAILED — skipping:\n{traceback.format_exc()}")
+            continue
+        if pending is not None:
+            failures += settle(pending)
+        pending = (j, ep, out)
+    if pending is not None:
+        failures += settle(pending)
 
     if pcount > 1:
         from rpnet_tpu.parallel.mesh import allgather_merge_records

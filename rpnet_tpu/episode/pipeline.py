@@ -125,6 +125,14 @@ def episode_metrics_fn(model, affine_iters: int, demons_iters: int,
             "gt_nonempty": affine_valid,
             "ncc_warped": ncc_warped,
             "ncc_raw": ncc_raw,
+            # all scalar metrics in ONE vector: the eval driver fetches this
+            # single array instead of 6 separate device→host transfers (each
+            # transfer is a full RTT on a tunneled TPU — ~170 ms/episode of
+            # pure latency at 6 round trips)
+            "packed_metrics": jnp.concatenate([
+                jnp.stack([dsc_affine, dsc_fewshot,
+                           affine_valid.astype(jnp.float32),
+                           ncc_warped, ncc_raw]), dsc_ref]),
             "prediction": fewshot_pred,
             "appr_label": appr,
         }
@@ -189,7 +197,12 @@ class EpisodeRunner:
             self._jitted = jax.jit(fn, in_shardings=self._in_shardings)
             self.variables = jax.device_put(variables, var_sh)
         else:
-            self.variables = variables
+            # COMMIT the weights to the device once: checkpoint restore hands
+            # back numpy leaves, and numpy-leaf jit arguments re-upload the
+            # whole tree on EVERY call — on a tunneled TPU that cost ~1 s per
+            # episode (13× the program itself; round-3 finding, the mesh
+            # branch's device_put never had this bug)
+            self.variables = jax.device_put(variables)
             self._jitted = jax.jit(fn)
 
     def pad(self, ep: Episode):
@@ -210,23 +223,43 @@ class EpisodeRunner:
         mask[:take] = 1.0
         return supp_img, supp_lab, qry_img, qry_lab, mask
 
-    def run(self, ep: Episode) -> Dict[str, Any]:
+    def dispatch(self, ep: Episode):
+        """Queue the episode program WITHOUT blocking (jax async dispatch).
+
+        Returns the device-array output tree; pair with :meth:`finalize`.
+        Splitting dispatch/finalize lets the eval driver software-pipeline
+        episodes — assemble + queue episode j+1 while the device still
+        computes episode j — hiding host-side fetch/print/assembly time.
+        """
         supp_img, supp_lab, qry_img, qry_lab, mask = self.pad(ep)
-        out = self._jitted(self.variables, jnp.asarray(supp_img),
-                           jnp.asarray(supp_lab), jnp.asarray(qry_img),
-                           jnp.asarray(qry_lab), jnp.asarray(mask))
-        out = jax.tree_util.tree_map(np.asarray, out)
+        return self._jitted(self.variables, jnp.asarray(supp_img),
+                            jnp.asarray(supp_lab), jnp.asarray(qry_img),
+                            jnp.asarray(qry_lab), jnp.asarray(mask))
+
+    def finalize(self, out, ep: Episode, arrays: bool = True) -> Dict[str, Any]:
+        """Fetch results (blocks) and apply host conventions.
+
+        ``arrays=False`` skips the (Dq, H, W) prediction / appr_label
+        device→host transfers — the episodic eval driver only consumes the
+        scalar metrics, and on a tunneled TPU backend those two arrays are
+        ~16 MB/episode of dead weight.
+        """
+        packed = np.asarray(out["packed_metrics"])   # ONE device→host RTT
         # host conventions: None for empty ground truth (util.py:388-389)
-        nonempty = bool(out["gt_nonempty"])
+        nonempty = bool(packed[2] > 0.5)
         result = {
-            "dsc_affine": float(out["dsc_affine"]) if nonempty else None,
-            "dsc_fewshot": float(out["dsc_fewshot"]) if nonempty else None,
+            "dsc_affine": float(packed[0]) if nonempty else None,
+            "dsc_fewshot": float(packed[1]) if nonempty else None,
             "dsc_refinement": {i: (float(v) if nonempty else None)
-                               for i, v in enumerate(out["dsc_refinement"])},
-            "ncc_warped": float(out["ncc_warped"]),
-            "ncc_raw": float(out["ncc_raw"]),
-            "prediction": out["prediction"],
-            "appr_label": out["appr_label"],
+                               for i, v in enumerate(packed[5:])},
+            "ncc_warped": float(packed[3]),
+            "ncc_raw": float(packed[4]),
             "n_slices": ep.n_slices,
         }
+        if arrays:
+            result["prediction"] = np.asarray(out["prediction"])
+            result["appr_label"] = np.asarray(out["appr_label"])
         return result
+
+    def run(self, ep: Episode) -> Dict[str, Any]:
+        return self.finalize(self.dispatch(ep), ep)

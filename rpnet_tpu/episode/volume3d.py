@@ -66,19 +66,29 @@ class Volume3DRunner:
         prob_sum = np.zeros((Dq, H, W), np.float64)
         prior_sum = np.zeros((Dq, H, W), np.float64)
         counts = np.zeros((Dq, 1, 1), np.float64)
-        for s in starts:
-            e = min(s + self.window, Dq)
-            ep = Episode(
-                support_images=supp_img[None, s:e].astype(np.float32),
-                support_labels=supp_lab[None, s:e].astype(np.float32),
-                query_images=query_vol[s:e].astype(np.float32),
-                query_labels=query_lab[s:e].astype(np.float32),
-                class_id=0, pid="", supp_pids=[(0, 0)])
-            res = self.runner.run(ep)
-            n = e - s
-            prob_sum[s:e] += res["prediction"][:n]
-            prior_sum[s:e] += res["appr_label"][:n]
-            counts[s:e] += 1.0
+        # software pipeline: dispatch window i+1 before fetching window i so
+        # the device never idles on the host-side accumulate (jax async
+        # dispatch keeps one window in flight)
+        pending = None
+        for s in starts + [None]:
+            out = None
+            if s is not None:
+                e = min(s + self.window, Dq)
+                ep = Episode(
+                    support_images=supp_img[None, s:e].astype(np.float32),
+                    support_labels=supp_lab[None, s:e].astype(np.float32),
+                    query_images=query_vol[s:e].astype(np.float32),
+                    query_labels=query_lab[s:e].astype(np.float32),
+                    class_id=0, pid="", supp_pids=[(0, 0)])
+                out = (s, e, ep, self.runner.dispatch(ep))
+            if pending is not None:
+                ps, pe, pep, pout = pending
+                res = self.runner.finalize(pout, pep)
+                n = pe - ps
+                prob_sum[ps:pe] += res["prediction"][:n]
+                prior_sum[ps:pe] += res["appr_label"][:n]
+                counts[ps:pe] += 1.0
+            pending = out
 
         pred = (prob_sum / np.maximum(counts, 1) > 0.5).astype(np.float32)
         prior = (prior_sum / np.maximum(counts, 1) > 0.5).astype(np.float32)

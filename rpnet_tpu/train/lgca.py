@@ -128,6 +128,10 @@ def evaluate_lgca_volume(model: LGCANetV3, variables, sample,
 
     fwd = _lgca_eval_fwd(model)
     put = lambda sl: jnp.asarray(sl)
+    # commit restored (numpy-leaf) weights to the device ONCE — numpy jit
+    # arguments re-upload on every call, which costs ~the weight tree per
+    # CHUNK on a tunneled TPU (same bug class as EpisodeRunner's fix)
+    variables = jax.device_put(variables)
     if mesh is not None:
         # the padded chunk shards over the data axis — round it up so any
         # mesh size divides it (padded slices are sliced off below)

@@ -277,19 +277,22 @@ def test_eval_fault_isolation(synth, tmp_path):
         pyyaml.safe_dump(cfg.to_dict(), f)
 
     calls = {"n": 0}
-    real_run = RealRunner.run
+    real_finalize = RealRunner.finalize
 
-    def flaky_run(self, ep):
+    # inject at finalize: under the software-pipelined eval loop, device-side
+    # errors surface at the blocking FETCH (jax async dispatch), so this is
+    # the seam a real compute failure crosses
+    def flaky_finalize(self, out, ep, arrays=True):
         calls["n"] += 1
         if calls["n"] == 1:
             raise RuntimeError("injected episode failure")
-        return real_run(self, ep)
+        return real_finalize(self, out, ep, arrays=arrays)
 
-    RealRunner.run = flaky_run
+    RealRunner.finalize = flaky_finalize
     try:
         results = cli.main(["--yaml", ypath])
     finally:
-        RealRunner.run = real_run
+        RealRunner.finalize = real_finalize
 
     assert results is not None
     assert results["failed_episodes"] == 1

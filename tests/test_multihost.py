@@ -108,7 +108,9 @@ def test_two_process_cli_eval(tmp_path):
         outs = []
         try:
             for p in procs:
-                out, _ = p.communicate(timeout=600)
+                # generous: cold XLA compiles in the workers plus a loaded
+                # host (concurrent suites/benches) have pushed past 600s
+                out, _ = p.communicate(timeout=1200)
                 outs.append(out)
         finally:
             for p in procs:
