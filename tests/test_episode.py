@@ -118,6 +118,26 @@ def test_full_episode_pipeline(synth):
     assert res["prediction"].shape[1:] == (H, W)
 
 
+def test_runner_commits_variables_to_device(synth):
+    """Regression: checkpoint restore hands back NUMPY leaves, and numpy-leaf
+    jit arguments re-upload the whole weight tree on EVERY call (~1 s/episode
+    through the axon tunnel, 13x the program itself — round-3 finding). The
+    runner must commit the tree to the device once at construction."""
+    cfg = small_config(synth)
+    model = model_factory["RP_Net"](cfg, num_iter=2)
+    H, W = 32, 32
+    import jax.numpy as jnp
+    dummy = (jnp.zeros((1, 1, 1, H, W, 1)), jnp.zeros((1, 1, 1, H, W)),
+             jnp.ones((1, 1, 1, H, W)), jnp.zeros((1, H, W, 1)),
+             jnp.zeros((1, H, W)))
+    variables = model.init(jax.random.PRNGKey(0), *dummy, train=False)
+    # simulate an orbax restore: every leaf becomes a host numpy array
+    variables = jax.tree_util.tree_map(np.asarray, variables)
+    runner = EpisodeRunner(model, variables, cfg)
+    leaves = jax.tree_util.tree_leaves(runner.variables)
+    assert leaves and all(isinstance(l, jax.Array) for l in leaves)
+
+
 def test_cli_end_to_end(synth, tmp_path, capsys):
     """The full CLI drive: yaml → episodes → aggregated mean±std block."""
     import yaml as pyyaml
