@@ -25,11 +25,10 @@ def build_variables(config, seed: int = 0):
     """Model + variables with the config's pretrained/ckpt applied — the
     checkpoint half of cli.test_rpnet.build_model_and_runner, without
     compiling anything on the execution backend."""
-    import jax
     import jax.numpy as jnp
 
     from rpnet_tpu.models.factory import model_factory
-    from rpnet_tpu.utils.device import init_on_host_cpu
+    from rpnet_tpu.train.checkpoint import init_or_restore
 
     num_iter = config["n_iter_refinement"]
     model = model_factory[config.get("net", "RP_Net")](config, align=True,
@@ -41,14 +40,7 @@ def build_variables(config, seed: int = 0):
              jnp.ones((1, Sh, 1, H, W), jnp.float32),
              jnp.zeros((1, H, W, 1), jnp.float32),
              jnp.zeros((1, H, W), jnp.float32))
-    variables = init_on_host_cpu(model, jax.random.PRNGKey(seed), dummy)
-    if config.get("pretrained_path"):
-        from rpnet_tpu.train.checkpoint import apply_pretrained
-        variables = apply_pretrained(variables, config)
-    if config.get("ckpt"):
-        from rpnet_tpu.train.checkpoint import restore_into
-        variables, _ = restore_into(variables, config["ckpt"],
-                                    model_name=config.get("net", "RP_Net"))
+    variables, _ = init_or_restore(model, config, dummy, seed=seed)
     return model, variables, (Sh, H, W)
 
 

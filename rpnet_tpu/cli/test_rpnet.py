@@ -46,7 +46,6 @@ parser.add_argument("--n-runs", default=None, type=int,
                     help="override n_runs from the YAML")
 
 
-from rpnet_tpu.utils.device import init_on_host_cpu
 
 
 def build_model_and_runner(config: Config, seed: int = 0):
@@ -65,17 +64,8 @@ def build_model_and_runner(config: Config, seed: int = 0):
         jnp.zeros((1, H, W, 1), jnp.float32),
         jnp.zeros((1, H, W), jnp.float32),
     )
-    variables = init_on_host_cpu(model, jax.random.PRNGKey(seed), dummy)
-    if config.get("pretrained_path"):
-        from rpnet_tpu.train.checkpoint import apply_pretrained
-        variables = apply_pretrained(variables, config)
-    start_epoch = 0
-    ckpt = config.get("ckpt")
-    if ckpt:
-        print(f"[Loading model from {ckpt}]")
-        from rpnet_tpu.train.checkpoint import restore_into
-        variables, start_epoch = restore_into(variables, ckpt,
-                                              model_name=config.get("net", "RP_Net"))
+    from rpnet_tpu.train.checkpoint import init_or_restore
+    variables, start_epoch = init_or_restore(model, config, dummy, seed=seed)
 
     # multi-chip: shard the query-slice axis over the mesh's data axis
     # (mesh_shape: {data: N} in the YAML, or automatic when >1 device).

@@ -39,7 +39,10 @@ def overlay(dst: Dict[str, Any], src: Dict[str, Any], path: str = "") -> Dict[st
                 raise ValueError(
                     f"checkpoint shape mismatch at {path}/{k}: "
                     f"{arr.shape} vs model {tuple(cur.shape)}")
-            out[k] = arr.astype(np.asarray(cur).dtype)
+            # cur may be a ShapeDtypeStruct (structure-only fast restore) —
+            # it carries .dtype without being array-convertible
+            dtype = cur.dtype if hasattr(cur, "dtype") else np.asarray(cur).dtype
+            out[k] = arr.astype(dtype)
         else:
             out[k] = np.asarray(v)   # extra key kept (state.update semantics)
     return out
@@ -155,6 +158,12 @@ def restore_into(variables, path: str, model_name: str = "RP_Net"):
     """Overlay-restore a checkpoint into freshly-initialized variables.
 
     Returns (variables, start_step). torch checkpoints are converted first.
+
+    ``variables`` may also be a tree of ``jax.ShapeDtypeStruct`` (from
+    ``jax.eval_shape`` over ``model.init``): if the checkpoint covers EVERY
+    leaf, the expensive real init is never needed. Any leaf the checkpoint
+    does not cover is then unrestorable and raises (the caller falls back to
+    a real init + overlay).
     """
     ckpt = load_checkpoint(path)
     step = int(ckpt.get("step", ckpt.get("epoch", 0)) or 0)
@@ -182,4 +191,53 @@ def restore_into(variables, path: str, model_name: str = "RP_Net"):
         src = ckpt
     src = {k: v for k, v in src.items() if not k.startswith("_")}
     merged = overlay(variables, src)
+    missing = [p for p, l in jax.tree_util.tree_leaves_with_path(merged)
+               if isinstance(l, jax.ShapeDtypeStruct)]
+    if missing:
+        raise IncompleteCheckpointError(
+            f"checkpoint {path} does not cover "
+            f"{len(missing)} model leaves (e.g. "
+            f"{jax.tree_util.keystr(missing[0])}) — a structure-only "
+            f"restore needs full coverage; fall back to a real init")
     return jax.tree_util.tree_map(lambda x: np.asarray(x), merged), step
+
+
+class IncompleteCheckpointError(ValueError):
+    """A structure-only restore found leaves the checkpoint doesn't cover."""
+
+
+def init_or_restore(model, config, dummy, seed: int = 0, train: bool = False,
+                    fast: bool = True):
+    """Build model variables honoring ``pretrained_path``/``ckpt``.
+
+    Fast path: when a full non-torch checkpoint is configured, a
+    ``jax.eval_shape`` structure (pure tracing, no compute, no compiles)
+    stands in for the real init — the checkpoint replaces every value
+    anyway. Worth ~30 s per CLI invocation on a tunneled TPU. Falls back to
+    ``init_on_host_cpu`` + overlay for partial/torch checkpoints.
+
+    Returns ``(variables, start_step)``.
+    """
+    ckpt = config.get("ckpt")
+    if fast and ckpt and not config.get("pretrained_path") and not (
+            ckpt.endswith((".pth", ".pt", ".tar")) or os.path.isfile(ckpt)):
+        struct = jax.eval_shape(
+            lambda r: model.init(r, *dummy, train=train),
+            jax.random.PRNGKey(seed))
+        try:
+            print(f"[Loading model from {ckpt}]")
+            return restore_into(struct, ckpt,
+                                model_name=config.get("net", "RP_Net"))
+        except IncompleteCheckpointError as e:
+            print(f"[partial checkpoint — full init: {e}]")
+    from rpnet_tpu.utils.device import init_on_host_cpu
+    variables = init_on_host_cpu(model, jax.random.PRNGKey(seed), dummy,
+                                 train=train)
+    if config.get("pretrained_path"):
+        variables = apply_pretrained(variables, config)
+    step = 0
+    if ckpt:
+        print(f"[Loading model from {ckpt}]")
+        variables, step = restore_into(variables, ckpt,
+                                       model_name=config.get("net", "RP_Net"))
+    return variables, step

@@ -60,6 +60,12 @@ def init_on_host_cpu(model, rng, dummy, train: bool = False):
     minutes; tracing it on the CPU takes seconds and the parameters are
     identical. The correlation impl is pinned to XLA during the trace (the
     Pallas kernel can't run on CPU and parameters don't depend on it).
+
+    ``rng``/``dummy`` are re-committed to the CPU device first: jit follows
+    committed ARGUMENT placement over ``default_device``, so a PRNGKey or
+    dummy array created on the TPU would silently drag the whole init back
+    through the tunnel — measured 285 s of eager remote dispatches in the
+    eval CLI (852 ops × ~0.3 s) before this re-commit existed.
     """
     import jax
 
@@ -71,6 +77,8 @@ def init_on_host_cpu(model, rng, dummy, train: bool = False):
     try:
         os.environ["RPNET_CORR_IMPL"] = "xla"
         cpu = jax.local_devices(backend="cpu")[0]
+        rng = jax.device_put(rng, cpu)
+        dummy = jax.tree_util.tree_map(lambda a: jax.device_put(a, cpu), dummy)
         with jax.default_device(cpu):
             variables = model.init(rng, *dummy, train=train)
         if dev.platform != "cpu":

@@ -136,6 +136,36 @@ def test_orbax_checkpoint_roundtrip(tmp_path, rng):
         variables["params"]["encoder"]["enc1"]["conv1"]["conv"]["kernel"])
 
 
+def test_structure_only_restore(tmp_path, rng):
+    """restore_into accepts a jax.eval_shape structure in place of real init
+    values (the eval CLI's 30-s-saving fast path) — full coverage restores
+    exactly; partial coverage raises IncompleteCheckpointError."""
+    from rpnet_tpu.train.checkpoint import (IncompleteCheckpointError,
+                                            restore_into, save_checkpoint)
+
+    _, variables = _init_unet_model()
+    path = str(tmp_path / "ckpt_full")
+    save_checkpoint(path, step=5, variables=variables)
+
+    struct = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype),
+        variables)
+    restored, step = restore_into(struct, path)
+    assert step == 5
+    jax.tree_util.tree_map(
+        lambda r, v: np.testing.assert_array_equal(np.asarray(r),
+                                                   np.asarray(v)),
+        restored, variables)
+
+    # partial checkpoint: drop a subtree → the structure restore must refuse
+    partial = {"params": {k: v for k, v in variables["params"].items()
+                          if k != "encoder"}}
+    ppath = str(tmp_path / "ckpt_partial")
+    save_checkpoint(ppath, step=1, variables=partial)
+    with pytest.raises(IncompleteCheckpointError):
+        restore_into(struct, ppath)
+
+
 def test_torch_pth_checkpoint_loads(tmp_path, rng):
     """A reference-format .pth checkpoint converts + overlays transparently."""
     import torch

@@ -157,6 +157,52 @@ def test_cli_end_to_end(synth, tmp_path, capsys):
     assert os.path.exists(str(tmp_path / "out" / "log_eval"))
 
 
+def test_cli_eval_restores_checkpoint(synth, tmp_path, capsys, monkeypatch):
+    """CLI eval with a ``ckpt`` key: the structure-only fast restore
+    (train/checkpoint.py::init_or_restore) must produce the same eval results
+    as running with the real-init + overlay path."""
+    import yaml as pyyaml
+
+    from rpnet_tpu.cli import test_rpnet as cli
+    from rpnet_tpu.train.checkpoint import save_checkpoint
+
+    cfg = small_config(synth, n_runs=1, out_dir=str(tmp_path / "o1"))
+    import jax.numpy as jnp
+    model = model_factory["RP_Net"](cfg, align=True,
+                                    num_iter=cfg["n_test_iter_refinement"])
+    H, W = cfg["crop_size"]
+    dummy = (jnp.zeros((1, 1, 1, H, W, 1)), jnp.zeros((1, 1, 1, H, W)),
+             jnp.ones((1, 1, 1, H, W)), jnp.zeros((1, H, W, 1)),
+             jnp.zeros((1, H, W)))
+    variables = model.init(jax.random.PRNGKey(7), *dummy, train=False)
+    ck = str(tmp_path / "ck")
+    save_checkpoint(ck, step=4, variables=variables)
+
+    # run 1: ckpt via the fast structure-only path
+    cfg = small_config(synth, n_runs=1, out_dir=str(tmp_path / "o1"), ckpt=ck)
+    y1 = str(tmp_path / "c1.yml")
+    with open(y1, "w") as f:
+        pyyaml.safe_dump(cfg.to_dict(), f)
+    r1 = cli.main(["--yaml", y1])
+    out = capsys.readouterr().out
+    assert f"[Loading model from {ck}]" in out
+    assert "partial checkpoint" not in out      # fast path actually taken
+
+    # run 2: same weights through the real-init + overlay fallback (the
+    # config seed must stay identical — it also drives episode sampling)
+    import rpnet_tpu.train.checkpoint as ckpt_mod
+    real_ior = ckpt_mod.init_or_restore
+    monkeypatch.setattr(ckpt_mod, "init_or_restore",
+                        lambda *a, **k: real_ior(*a, **{**k, "fast": False}))
+    cfg2 = small_config(synth, n_runs=1, out_dir=str(tmp_path / "o2"),
+                        ckpt=ck)
+    y2 = str(tmp_path / "c2.yml")
+    with open(y2, "w") as f:
+        pyyaml.safe_dump(cfg2.to_dict(), f)
+    r2 = cli.main(["--yaml", y2])
+    assert r1["classes"] == r2["classes"]
+
+
 def test_prefetching_sampler_matches_serial(synth):
     """Prefetched iteration yields identical episodes + RNG sequence."""
     import random
