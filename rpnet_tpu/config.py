@@ -142,6 +142,9 @@ _DEFAULTS: Dict[str, Any] = {
                                # docs/perf_trace_r3.md).
     "use_pallas": True,        # use Pallas correlation kernel on TPU
     "use_native_io": True,     # C++ NRRD decoder + raw cache (core/native_cache)
+    "volume_cache": 8,         # sampler LRU over preprocessed volumes (entries;
+                               # 0 disables) — eval revisits the same volumes
+                               # every run (test_rpnet.py:112-145)
     "io_cache_dir": None,      # where .rawcache files go (default: beside the NRRDs)
     "use_all_supports": False, # lift the reference's eval support-overwrite defect
     "multishot_fusion": False, # native multi-support mode: register EVERY shot,

@@ -140,6 +140,17 @@ def episode_metrics_fn(model, affine_iters: int, demons_iters: int,
     return fn
 
 
+def _compact_labels(a: np.ndarray) -> np.ndarray:
+    """uint8 twin of a {0,1}-valued float label array (4× smaller transfer
+    through a tunneled TPU backend; widened back to f32 on device — exact).
+    Non-binary labels (e.g. soft masks) pass through unchanged."""
+    if a.dtype == np.float32:
+        u8 = a.astype(np.uint8)
+        if np.array_equal(u8, a):   # exactly {0, 1} (or small ints)
+            return u8
+    return a
+
+
 class EpisodeRunner:
     """Pads episodes to bucketed static shapes and runs the fused program.
 
@@ -176,12 +187,20 @@ class EpisodeRunner:
                 lambda x: x.astype(compute_dtype)
                 if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
                 variables)
-        fn = episode_metrics_fn(model, affine_iters, demons_iters, fit_scale,
-                                sampler, multishot, compute_dtype,
-                                use_registration=use_registration,
-                                n_way=int(config.get("n_way", 1)),
-                                reg_lr=float(config.get("reg_lr", 0.01)),
-                                reg_sigma=float(config.get("reg_sigma", 2.0)))
+        base_fn = episode_metrics_fn(model, affine_iters, demons_iters,
+                                     fit_scale, sampler, multishot,
+                                     compute_dtype,
+                                     use_registration=use_registration,
+                                     n_way=int(config.get("n_way", 1)),
+                                     reg_lr=float(config.get("reg_lr", 0.01)),
+                                     reg_sigma=float(config.get("reg_sigma", 2.0)))
+
+        def fn(variables, supp_img, supp_lab, qry_img, qry_lab, mask):
+            # labels may arrive uint8 (compact transfer, see dispatch) —
+            # widen on device; bit-exact since the values are exactly {0, 1}
+            return base_fn(variables, supp_img,
+                           supp_lab.astype(jnp.float32), qry_img,
+                           qry_lab.astype(jnp.float32), mask)
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -216,9 +235,9 @@ class EpisodeRunner:
             return np.pad(a, pads, constant_values=fill)
 
         supp_img = pad_slices(ep.support_images, -1.0)
-        supp_lab = pad_slices(ep.support_labels, 0.0)
+        supp_lab = _compact_labels(pad_slices(ep.support_labels, 0.0))
         qry_img = pad_slices(ep.query_images, -1.0)
-        qry_lab = pad_slices(ep.query_labels, 0.0)
+        qry_lab = _compact_labels(pad_slices(ep.query_labels, 0.0))
         mask = np.zeros((padded,), np.float32)
         mask[:take] = 1.0
         return supp_img, supp_lab, qry_img, qry_lab, mask

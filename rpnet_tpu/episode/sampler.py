@@ -32,6 +32,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import random
+from collections import OrderedDict
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -105,6 +106,14 @@ class EpisodeSampler:
             (ci, di) for ci in range(len(self.classes))
             for di in range(len(self.data_info[ci]))
         ]
+        # LRU over load_image_and_mask results: the eval protocol revisits
+        # the same handful of volumes on every run (test_rpnet.py:112-145
+        # draws supports from the same split each run), and the whole
+        # per-volume chain (read+truncate+crop+normalize, ~90 ms) is
+        # deterministic given the config — cache entries are returned
+        # read-only. ``volume_cache: 0`` disables.
+        self._vol_cache: "OrderedDict[Tuple[str, str], Tuple[np.ndarray, np.ndarray]]" = OrderedDict()
+        self._vol_cache_max = int(config.get("volume_cache", 8))
 
     # ------------------------------------------------------------------ meta
     def _read_data_meta(self):
@@ -138,6 +147,11 @@ class EpisodeSampler:
 
     def load_image_and_mask(self, pid: str, roi: str):
         """The per-volume preprocessing chain (few_shot_reader.py:324-345)."""
+        key = (pid, roi)
+        hit = self._vol_cache.get(key)
+        if hit is not None:
+            self._vol_cache.move_to_end(key)
+            return hit
         cfg = self.cfg
         pad_factor = 16
         mask = self._read_volume(os.path.join(self.data_dir, f"{pid}_{roi}.nrrd"))
@@ -154,7 +168,14 @@ class EpisodeSampler:
         imgs, mask = crop(imgs, mask, cfg.get("crop_size", [256, 256]),
                           cfg.get("pad_value", -1024), 0)
         imgs = normalize(imgs, minimum=cfg["HU_range"][0], maximum=cfg["HU_range"][1])
-        return imgs[0], mask[0]   # (D, H, W) each
+        imgs, mask = imgs[0], mask[0]   # (D, H, W) each
+        if self._vol_cache_max > 0:
+            imgs.flags.writeable = False   # cache entries are shared views
+            mask.flags.writeable = False
+            self._vol_cache[key] = (imgs, mask)
+            if len(self._vol_cache) > self._vol_cache_max:
+                self._vol_cache.popitem(last=False)
+        return imgs, mask
 
     # ------------------------------------------------------------------ sample
     def draw_supports(self, idx: int) -> List[int]:

@@ -53,6 +53,41 @@ def test_slice_bins_match_reference_rule():
     assert k2 == 3
 
 
+def test_volume_cache_identical_and_bounded(synth):
+    """The sampler's volume LRU returns value-identical (read-only) results
+    and respects its size bound; volume_cache: 0 disables it entirely."""
+    cfg = small_config(synth)
+    s_cached = EpisodeSampler(cfg["data_dir"], cfg["eval_set_name"], cfg,
+                              mode="eval")
+    s_plain = EpisodeSampler(cfg["data_dir"], cfg["eval_set_name"],
+                             cfg.replace(volume_cache=0), mode="eval")
+    pid = s_cached.data_info[0][0]["pid"]
+    roi = s_cached.classes[0]
+    img_c, msk_c = s_cached.load_image_and_mask(pid, roi)
+    img_p, msk_p = s_plain.load_image_and_mask(pid, roi)
+    np.testing.assert_array_equal(img_c, img_p)
+    np.testing.assert_array_equal(msk_c, msk_p)
+    assert not img_c.flags.writeable and not msk_c.flags.writeable
+    assert img_p.flags.writeable  # uncached path untouched
+    # second load is the SAME cached objects
+    img_c2, _ = s_cached.load_image_and_mask(pid, roi)
+    assert img_c2 is img_c
+    assert len(s_plain._vol_cache) == 0
+    # eviction: bound the cache at 1 and load two volumes
+    s1 = EpisodeSampler(cfg["data_dir"], cfg["eval_set_name"],
+                        cfg.replace(volume_cache=1), mode="eval")
+    s1.load_image_and_mask(s1.data_info[0][0]["pid"], roi)
+    s1.load_image_and_mask(s1.data_info[0][1]["pid"], roi)
+    assert len(s1._vol_cache) == 1
+    # full episodes agree end to end
+    random.seed(3)
+    ep_c = s_cached.sample(0)
+    random.seed(3)
+    ep_p = s_plain.sample(0)
+    np.testing.assert_array_equal(ep_c.query_images, ep_p.query_images)
+    np.testing.assert_array_equal(ep_c.support_labels, ep_p.support_labels)
+
+
 def test_sampler_eval_episode_shapes(synth):
     cfg = small_config(synth)
     random.seed(0)
