@@ -59,11 +59,15 @@ def collate_batch(episodes, target_k: int = None) -> tuple:
         idx = np.arange(k) % n
         return np.take(a, idx, axis=axis)
 
+    from rpnet_tpu.episode.pipeline import _compact_labels
+
     supp_img = np.stack([cyc(e.support_images, 1) for e in episodes])  # (E, Sh, k, H, W)
     supp_lab = np.stack([cyc(e.support_labels, 1) for e in episodes])
     qry_img = np.stack([cyc(e.query_images, 0) for e in episodes])     # (E, k, H, W)
     qry_lab = np.stack([cyc(e.query_labels, 0) for e in episodes])
-    return supp_img, supp_lab, qry_img, qry_lab
+    # {0,1} labels transfer as uint8 (4× smaller host→device upload; the
+    # train step widens on device — exact)
+    return supp_img, _compact_labels(supp_lab), qry_img, _compact_labels(qry_lab)
 
 
 def train_lgca(config, args, out_dir):
@@ -125,13 +129,18 @@ def train_lgca(config, args, out_dir):
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
         losses: List[float] = []
+        pending = None
         for j in range(steps_per_epoch):
+            # software pipeline: sample volume j while the device runs j-1
             s = sampler.sample(j % len(sampler), rng=rng)
             batch = tuple(map(jnp.asarray, (s["volume"], s["slices"],
                                             s["mask"],
                                             s["downsampled_volume_mask"])))
-            state, metrics = step(state, batch)
-            losses.append(float(metrics["loss"]))
+            if pending is not None:
+                losses.append(float(pending["loss"]))
+            state, pending = step(state, batch)
+        if pending is not None:
+            losses.append(float(pending["loss"]))
         wall = time.time() - t0
         print(f"epoch {epoch} loss {np.mean(losses):.4f} "
               f"({steps_per_epoch / max(wall, 1e-9):.2f} volumes/s)")
@@ -226,7 +235,8 @@ def main(argv=None):
     E, Sh = batch_size, int(config.get("n_shot", 1))
     train_step = aot_compile_step(
         make_train_step(model, config, optimizer), state,
-        ((E, Sh, k, H, W), (E, Sh, k, H, W), (E, k, H, W), (E, k, H, W)))
+        ((E, Sh, k, H, W), (E, Sh, k, H, W), (E, k, H, W), (E, k, H, W)),
+        batch_dtypes=(np.float32, np.uint8, np.float32, np.uint8))
 
     writer = None
     try:
@@ -241,13 +251,20 @@ def main(argv=None):
         t0 = time.time()
         losses: List[float] = []
         idx = 0
+        pending = None   # last dispatched step's metrics (device futures)
         while idx < epi_per_epoch:
             take = [order[(idx + j) % len(order)] for j in range(batch_size)]
+            # assemble the NEXT batch while the device still runs the
+            # previous step (jax async dispatch) — fetching the loss below
+            # is the sync point, so it happens after host work, not before
             episodes = [sampler.sample(t) for t in take]
             batch = collate_batch(episodes, target_k=k)
-            state, metrics = train_step(state, tuple(map(jnp.asarray, batch)))
-            losses.append(float(metrics["loss"]))
+            if pending is not None:
+                losses.append(float(pending["loss"]))
+            state, pending = train_step(state, tuple(map(jnp.asarray, batch)))
             idx += batch_size
+        if pending is not None:
+            losses.append(float(pending["loss"]))
         wall = time.time() - t0
         mean_loss = float(np.mean(losses)) if losses else float("nan")
         print(f"epoch {epoch} loss {mean_loss:.4f} "

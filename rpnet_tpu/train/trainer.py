@@ -191,6 +191,10 @@ def make_train_step(model, config, optimizer) -> Callable:
 
     def batch_loss(params, batch_stats, batch):
         supp_img, supp_lab, qry_img, qry_lab = batch
+        # labels may arrive uint8 (compact transfer, cli/train.collate_batch)
+        # — widen on device; exact, the values are {0, 1}
+        supp_lab = supp_lab.astype(jnp.float32)
+        qry_lab = qry_lab.astype(jnp.float32)
         losses, (metrics, new_stats) = jax.vmap(
             episode_loss, in_axes=(None, None, 0, 0, 0, 0),
             out_axes=(0, (0, 0)))(params, batch_stats, supp_img, supp_lab,

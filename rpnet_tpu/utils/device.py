@@ -32,7 +32,7 @@ def maybe_enable_compilation_cache(config=None):
         return None
 
 
-def aot_compile_step(step_fn, state, batch_shapes):
+def aot_compile_step(step_fn, state, batch_shapes, batch_dtypes=None):
     """AOT-compile a train step: ``jax.jit(fn).lower(...).compile()``.
 
     Why not plain ``jax.jit``: on TPU the jit cache keys on input *layouts*.
@@ -43,12 +43,17 @@ def aot_compile_step(step_fn, state, batch_shapes):
     one compile total, step 1 runs at steady-state speed.
 
     ``batch_shapes``: tuple of array shapes for the (supp_img, supp_lab,
-    qry_img, qry_lab) batch; lowering uses f32 ShapeDtypeStructs.
+    qry_img, qry_lab) batch; lowering uses f32 ShapeDtypeStructs unless
+    ``batch_dtypes`` overrides per position (the train CLI lowers labels as
+    uint8 — compact transfer, widened on device by the step itself).
     """
     import jax
     import numpy as np
 
-    abstract = tuple(jax.ShapeDtypeStruct(s, np.float32) for s in batch_shapes)
+    if batch_dtypes is None:
+        batch_dtypes = (np.float32,) * len(batch_shapes)
+    abstract = tuple(jax.ShapeDtypeStruct(s, d)
+                     for s, d in zip(batch_shapes, batch_dtypes))
     return jax.jit(step_fn).lower(state, abstract).compile()
 
 
