@@ -410,7 +410,17 @@ def main(argv=None):
     print(f"[length of eval loader {len(sampler)}]")
 
     model, variables, runner, start_epoch = build_model_and_runner(config, seed)
+    n_runs = args.n_runs or config.get("n_runs", 1)
+    return run_eval_protocol(runner, sampler, config, out_dir, n_runs,
+                             start_epoch=start_epoch)
 
+
+def run_eval_protocol(runner, sampler, config: Config, out_dir: str,
+                      n_runs: int, start_epoch: int = 0):
+    """The reference's n_runs eval protocol (test_rpnet.py:112-145): repeat
+    the per-class episodic eval, aggregate mean±std over runs, tee logs,
+    write results_eval.json. ``runner`` is duck-typed (pad/dispatch/finalize)
+    — the live EpisodeRunner and the serving ArtifactRunner both drive it."""
     writer = None
     try:
         from torch.utils.tensorboard import SummaryWriter
@@ -418,15 +428,12 @@ def main(argv=None):
     except Exception:
         pass
 
-    n_runs = args.n_runs or config.get("n_runs", 1)
     eval_classes = config["eval_classes"]
     dsc_affine = defaultdict(list)
     dsc_fewshot = defaultdict(list)
     dsc_refinement = defaultdict(lambda: defaultdict(list))
     t0 = time.time()
     total_episodes = 0
-    total_slices = 0
-
     total_failures = 0
     eval_fn = evaluate_3d if config.get("eval_3d") else evaluate
     for i in range(n_runs):

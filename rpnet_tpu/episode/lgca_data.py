@@ -22,6 +22,7 @@ Static shapes for jit: the volume is truncated/padded to
 from __future__ import annotations
 
 import os
+from collections import OrderedDict
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -59,11 +60,20 @@ class LGCAVolumeSampler:
         self.slices_per_step = int(config.get("lgca_slices", 8))
         self.pad_value = float(config.get("pad_value", -1024))
         self.hu = config.get("HU_range", [-1024, 3072])
+        # same volume LRU as EpisodeSampler (episode/sampler.py): _load is
+        # config-deterministic and LGCA training revisits every volume each
+        # epoch; entries are returned read-only. ``volume_cache: 0`` disables.
+        self._vol_cache: "OrderedDict[str, tuple]" = OrderedDict()
+        self._vol_cache_max = int(config.get("volume_cache", 8))
 
     def __len__(self) -> int:
         return len(self.filenames)
 
     def _load(self, pid: str):
+        hit = self._vol_cache.get(pid)
+        if hit is not None:
+            self._vol_cache.move_to_end(pid)
+            return hit
         vol, _ = nrrd_io.read(os.path.join(self.data_dir, f"{pid}_clean.nrrd"))
         vol = truncate_image(np.asarray(vol, np.float32), *(
             (self.shape[0], self.shape[2], self.shape[1])))
@@ -77,7 +87,14 @@ class LGCAVolumeSampler:
                     (self.shape[0], self.shape[2], self.shape[1])))
                 masks[..., ki] = _pad_to(m, self.shape, 0.0)
         vol = normalize(vol, minimum=self.hu[0], maximum=self.hu[1])
-        return vol.astype(np.float32), masks
+        vol = vol.astype(np.float32)
+        if self._vol_cache_max > 0:
+            vol.flags.writeable = False
+            masks.flags.writeable = False
+            self._vol_cache[pid] = (vol, masks)
+            if len(self._vol_cache) > self._vol_cache_max:
+                self._vol_cache.popitem(last=False)
+        return vol, masks
 
     def sample(self, idx: int, rng: Optional[np.random.RandomState] = None
                ) -> Dict[str, np.ndarray]:

@@ -166,6 +166,7 @@ class EpisodeRunner:
         self.model = model
         self.cfg = config
         self.mesh = mesh
+        self.compact_transfer = True   # {0,1} labels go up as uint8
         self.bucket = int(config.get("slice_bucket", 32))
         self.max_slices = int(config.get("max_slices", 288))
         affine_iters = int(config.get("reg_affine_iters", 50))
@@ -234,10 +235,12 @@ class EpisodeRunner:
             pads = [(0, 0)] * (a.ndim - 3) + [(0, padded - take), (0, 0), (0, 0)]
             return np.pad(a, pads, constant_values=fill)
 
+        compact = (_compact_labels if getattr(self, "compact_transfer", True)
+                   else lambda a: a)   # exported artifacts pin f32 inputs
         supp_img = pad_slices(ep.support_images, -1.0)
-        supp_lab = _compact_labels(pad_slices(ep.support_labels, 0.0))
+        supp_lab = compact(pad_slices(ep.support_labels, 0.0))
         qry_img = pad_slices(ep.query_images, -1.0)
-        qry_lab = _compact_labels(pad_slices(ep.query_labels, 0.0))
+        qry_lab = compact(pad_slices(ep.query_labels, 0.0))
         mask = np.zeros((padded,), np.float32)
         mask[:take] = 1.0
         return supp_img, supp_lab, qry_img, qry_lab, mask

@@ -160,6 +160,12 @@ def resolve_local_mesh(mesh_shape: Optional[Dict[str, int]], devices=None,
             raise ValueError(
                 f"mesh_shape data axis {shape.get('data')} must divide the "
                 f"sharded batch size {batch_divisor}")
+        # an explicit shape SMALLER than the host's device count is a valid
+        # ask (e.g. {data: 1} for bit-reproducible single-device eval that
+        # matches a serving artifact) — use the first `total` local devices
+        total = int(np.prod(list(shape.values())))
+        if total < len(local):
+            local = local[:total]
         return make_mesh(shape, devices=local)
     if batch_divisor is not None:
         data = max(d for d in range(1, len(local) + 1)

@@ -159,3 +159,36 @@ def load_artifact(directory: str, check_version: bool = True) -> ServingProgram:
     with open(prog_path, "rb") as f:
         blob = f.read()
     return ServingProgram(jexport.deserialize(blob), manifest)
+
+
+def make_artifact_runner(program: ServingProgram, variables, config):
+    """An EpisodeRunner driven by a RELOADED artifact — no model built.
+
+    Shares the live runner's pad/dispatch/finalize, so
+    `cli.test_rpnet.run_eval_protocol` — per-episode fault isolation,
+    n_runs aggregation, results JSON — runs unchanged on a serving artifact
+    + a raw orbax checkpoint tree. The exported program's shapes are
+    static: the slice bucket is pinned to the artifact's ``slices`` (one
+    bucket; longer volumes truncate, exactly like a live runner with
+    max_slices == bucket), and label inputs stay f32 (the exported calling
+    convention — compact uint8 transfer is a live-runner optimization the
+    artifact's avals don't carry).
+    """
+    from rpnet_tpu.episode.pipeline import EpisodeRunner
+
+    class ArtifactRunner(EpisodeRunner):
+        # host-side contract inherited; only construction differs (no model,
+        # no jit — the deserialized program IS the callable)
+        def __init__(self):   # noqa: D401 — deliberate non-super init
+            man = program.manifest
+            slices = int(man.get("slices")
+                         or program.exported.in_avals[-1].shape[0])
+            self.cfg = config
+            self.mesh = None
+            self.compact_transfer = False
+            self.bucket = slices
+            self.max_slices = slices
+            self.variables = jax.device_put(variables)
+            self._jitted = program
+
+    return ArtifactRunner()

@@ -130,6 +130,40 @@ def test_lgca_end_to_end_train_and_eval(tmp_path):
         assert v is None or 0.0 <= v <= 1.0
 
 
+def test_lgca_volume_cache_identical_and_bounded(tmp_path):
+    """The LGCA sampler's volume LRU (mirrors the episodic sampler's):
+    cached and uncached samples are identical, the bound holds, and cached
+    entries are immutable (sample() never hands out writable cache views)."""
+    import numpy as np
+
+    from rpnet_tpu.core.synthetic import generate_dataset
+    from rpnet_tpu.episode.lgca_data import LGCAVolumeSampler
+
+    paths = generate_dataset(str(tmp_path), n_train=3, n_test=1,
+                             shape=(12, 24, 24), seed=3)
+    base = Config({"data_dir": paths["data_dir"],
+                   "train_set_name": paths["train_csv"],
+                   "eval_set_name": paths["test_csv"],
+                   "net": "LGCANet_V3", "roi_names": ["Liver"],
+                   "num_slice": 12, "num_x": 24, "num_y": 24,
+                   "context_net_downsample_scale": [2, 2, 2],
+                   "lgca_slices": 4, "HU_range": [-1024, 3072]})
+    cold = LGCAVolumeSampler(base["data_dir"], base["train_set_name"],
+                             base.replace(volume_cache=0), mode="train")
+    warm = LGCAVolumeSampler(base["data_dir"], base["train_set_name"],
+                             base.replace(volume_cache=1), mode="train")
+    for rep in range(2):                      # second pass hits the cache
+        for i in range(len(warm)):
+            a = cold.sample(i, rng=np.random.RandomState(7 * rep + i))
+            b = warm.sample(i, rng=np.random.RandomState(7 * rep + i))
+            for k in ("volume", "slices", "mask", "downsampled_volume_mask",
+                      "slice_idx"):
+                np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+            b["slices"][:] = -7.0             # outputs must be owned copies
+    assert len(warm._vol_cache) == 1          # bound respected
+    assert len(cold._vol_cache) == 0          # disabled = never populated
+
+
 def test_lgca_sharded_step_matches_single_device(tmp_path):
     """The mesh-sharded LGCA train step (slice batch on the data axis, 3D
     context volume replicated — the torch-data_parallel layout of

@@ -46,6 +46,11 @@ def test_resolve_local_mesh_policies():
     # explicit shape that cannot divide the sharded batch is a clear error
     with pytest.raises(ValueError, match="must divide"):
         resolve_local_mesh({"data": 8}, batch_divisor=4)
+    # explicit shape SMALLER than the host: first N devices (e.g. {data: 1}
+    # for single-device eval that bit-matches a serving artifact)
+    mesh = resolve_local_mesh({"data": 1, "model": 1})
+    assert dict(mesh.shape) == {"data": 1, "model": 1}
+    assert mesh.devices.ravel().tolist() == [jax.local_devices()[0]]
 
 
 def test_param_sharding_rule(rng):
