@@ -132,7 +132,11 @@ def main():
 
     rows = []
 
+    only = os.environ.get("SWEEP_ONLY")   # substring filter, comma-separated
+
     def check_and_time(name, fn, *args, atol=2e-2):
+        if only and not any(s in name for s in only.split(",")):
+            return
         try:
             out = np.asarray(jax.block_until_ready(fn(*args)))
             err = np.max(np.abs(out.astype(np.float32) - ref))
@@ -142,7 +146,6 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"{name:38s} FAILED: {type(e).__name__}: {e}", flush=True)
 
-    import os
     if not os.environ.get("SWEEP_BWD_ONLY"):
         check_and_time("xla f32", jax.jit(functools.partial(local_correlation, r=r)), fm1, fm2)
         for ht in (8, 16, 32):
@@ -166,9 +169,20 @@ def main():
                        functools.partial(local_correlation_pallas_csub,
                                          r=r, h_tile=16),
                        fm1h, fm2h)
-        check_and_time("pallas bf16 ht=16",
-                       functools.partial(local_correlation_pallas, r=r, h_tile=16),
+        for ht in (8, 16, 32, 64):
+            check_and_time(f"pallas bf16 ht={ht}",
+                           functools.partial(local_correlation_pallas, r=r,
+                                             h_tile=ht),
+                           fm1h, fm2h)
+        check_and_time("pallas bf16 ht=16 f32-out",
+                       functools.partial(local_correlation_pallas, r=r,
+                                         h_tile=16, out_f32=True),
                        fm1h, fm2h)
+        for ht in (8, 32):
+            check_and_time(f"pallas-mxu bf16 ht={ht}",
+                           functools.partial(local_correlation_pallas_mxu,
+                                             r=r, h_tile=ht),
+                           fm1h, fm2h)
         check_and_time("pallas-swapped bf16 ht=16",
                        functools.partial(corr_swapped, r=r, h_tile=16),
                        fm1h, fm2h)
@@ -182,6 +196,8 @@ def main():
         print(f"\nbest fwd: {best[0]} at {best[1]:.3f} ms")
 
     # ------------------------------------------------------------- backward
+    if only and "bwd" not in only:
+        return
     from rpnet_tpu.ops.correlation import local_correlation_mxu_bwd
     from rpnet_tpu.ops.pallas.correlation import (_corr_bwd,
                                                   local_correlation_pallas_bwd)

@@ -165,8 +165,24 @@ class RPNet(nn.Module):
         Wa, Sh = supp_imgs.shape[:2]
         H, W = qry_imgs.shape[-3:-1]
 
-        supp_fts_raw = self._encode(supp_imgs, fore_mask, train)  # (Wa,Sh,B,h,w,C)
-        qry_fts = self._encode(qry_imgs, fore_mask[0, 0], train)  # (B,h,w,C)
+        if train:
+            supp_fts_raw = self._encode(supp_imgs, fore_mask, train)  # (Wa,Sh,B,h,w,C)
+            qry_fts = self._encode(qry_imgs, fore_mask[0, 0], train)  # (B,h,w,C)
+        else:
+            # eval: ONE batched encoder pass over support+query (frozen BN
+            # stats are per-sample, so the merge is value-exact) — halves the
+            # encoder dispatch count; the reference encodes the two stacks
+            # separately (net/rp_net.py:245-262)
+            B = qry_imgs.shape[0]
+            imgs = jnp.concatenate(
+                [supp_imgs.reshape((-1,) + supp_imgs.shape[2:]),
+                 qry_imgs[None]], axis=0)           # (Wa*Sh+1, B, H, W, 1)
+            masks = jnp.concatenate(
+                [fore_mask.reshape((-1,) + fore_mask.shape[2:]),
+                 fore_mask[0, 0][None]], axis=0)
+            fts = self._encode(imgs, masks, train)  # (Wa*Sh+1, B, h, w, C)
+            supp_fts_raw = fts[:-1].reshape((Wa, Sh) + fts.shape[1:])
+            qry_fts = fts[-1]
 
         # registration prior enters as the initial query mask (rp_net.py:269-270)
         qry_mask = avg_pool2d(appr_query_labels[..., None], self.scale)

@@ -38,7 +38,10 @@ def _corr_kernel(fm2p_hbm, fm1_ref, out_ref, scratch, sem, *,
 
     fm2p_hbm: (B, H+2r, W+2r, C) in HBM/ANY — window DMA'd manually
     fm1_ref:  (1, H_tile, W, C) VMEM block
-    out_ref:  (1, D², H_tile, W) VMEM block
+    out_ref:  (1, D², H_tile, W) VMEM block (f32 or bf16 — accumulation is
+              always f32 in-register; a bf16 out halves the store + the
+              downstream transpose traffic and is bit-identical to the XLA
+              `astype` the f32 path applies right after)
     scratch:  (H_tile+2r, W+2r, C) VMEM
     """
     d = 2 * r + 1
@@ -62,16 +65,23 @@ def _corr_kernel(fm2p_hbm, fm1_ref, out_ref, scratch, sem, *,
             sub = slab[:, dx:dx + W, :]
             # accumulate in f32 regardless of input dtype (bf16 inputs OK)
             acc = jnp.sum((fm1 * sub).astype(jnp.float32), axis=-1) * scale
-            out_ref[0, dx * d + dy, :, :] = acc
+            out_ref[0, dx * d + dy, :, :] = acc.astype(out_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, d, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("r", "h_tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("r", "h_tile", "interpret",
+                                             "out_f32"))
 def local_correlation_pallas(fm1, fm2, r: int, h_tile: int = 16,
-                             interpret: bool = False):
-    """Pallas local correlation. fm1, fm2: (B, H, W, C) → (B, H, W, (2r+1)²)."""
+                             interpret: bool = False, out_f32: bool = True):
+    """Pallas local correlation. fm1, fm2: (B, H, W, C) → (B, H, W, (2r+1)²).
+
+    ``out_f32=False`` stores the accumulator in fm1's dtype (bf16 halves the
+    store bytes) — measured SLOWER on v5e (7.07 vs 6.14 ms at the eval shape):
+    (16, 64) bf16 tile stores pack at half lane width and Mosaic's store path
+    loses more than the bytes save. f32 store + XLA cast stays the default.
+    """
     B, H, W, C = fm1.shape
     d = 2 * r + 1
     scale = float(1.0 / np.sqrt(float(C)))
@@ -79,6 +89,7 @@ def local_correlation_pallas(fm1, fm2, r: int, h_tile: int = 16,
     if H % h_tile != 0:
         h_tile = H
     n_htiles = H // h_tile
+    out_dtype = jnp.float32 if out_f32 else fm1.dtype
 
     # W-pad to the sublane tiling (8) so HBM DMA slices are aligned
     Wp = -(-(W + 2 * r) // 8) * 8
@@ -87,7 +98,7 @@ def local_correlation_pallas(fm1, fm2, r: int, h_tile: int = 16,
     kernel = functools.partial(_corr_kernel, H_tile=h_tile, W=W, r=r, scale=scale)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, d * d, H, W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, d * d, H, W), out_dtype),
         grid=(B, n_htiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),       # fm2p stays off-chip
@@ -457,8 +468,9 @@ def pallas_correlation_trainable(r: int, interpret: bool = False,
     """
     from jax import custom_batching
 
-    fwd_impl = (local_correlation_pallas_csub if forward == "csub"
-                else local_correlation_pallas)
+    fwd_impl = {"csub": local_correlation_pallas_csub,
+                "pallas_mxu": local_correlation_pallas_mxu,
+                }.get(forward, local_correlation_pallas)
 
     @custom_batching.custom_vmap
     def fwd_fn(fm1, fm2):
@@ -546,11 +558,19 @@ def local_correlation_auto(fm1, fm2, r: int):
     on_tpu = jax.default_backend() == "tpu"
     if impl is None:
         impl = "pallas" if on_tpu else "xla"
-    if impl in ("pallas", "csub") and on_tpu:
+    if impl in ("pallas", "csub", "pallas_mxu") and on_tpu:
         # differentiable AND vmappable (training vmaps episodes); "csub" uses
-        # the C-on-sublanes forward with the same backward
+        # the C-on-sublanes forward, "pallas_mxu" the MXU-in-kernel banded
+        # forward, both with the same backward
         return pallas_correlation_trainable(r, forward=impl)(fm1, fm2)
     if impl == "mxu":
         from rpnet_tpu.ops.correlation import local_correlation_mxu
         return local_correlation_mxu(fm1, fm2, r)
+    if impl == "fake":
+        # timing-attribution stub (WRONG VALUES): a near-free stand-in that
+        # keeps both inputs alive (so XLA can't DCE the w_k/w_q convs) —
+        # the episode-time delta vs "pallas" isolates the kernel's cost
+        d = 2 * r + 1
+        m = (jnp.mean(fm1, axis=-1) + jnp.mean(fm2, axis=-1))[..., None]
+        return jnp.broadcast_to(m, fm1.shape[:3] + (d * d,))
     return _xla_local_correlation(fm1, fm2, r)

@@ -166,6 +166,30 @@ def test_rpnet_forward_smoke(rng, backbone, scale):
                                   np.asarray(out["refinement"][-1]))
 
 
+@pytest.mark.parametrize("backbone,scale,Sh", [("UNet", 4, 1), ("vgg", 8, 2)])
+def test_rpnet_eval_merged_encode_exact(rng, backbone, scale, Sh):
+    """The eval-mode single batched encoder pass over support+query is
+    value-IDENTICAL to separate passes (frozen BN statistics are per-sample,
+    so batch composition cannot change any sample's features)."""
+    model = RPNet(backbone=backbone, scale=scale, num_iter=1, radius=2)
+    supp, fore, back, qry, appr = _episode_inputs(rng, Sh=Sh)
+    variables = model.init(jax.random.PRNGKey(0), supp, fore, back, qry,
+                           appr, train=False)
+    bound = model.bind(variables)
+    Wa = supp.shape[0]
+    sep_supp = bound._encode(supp, fore, False)
+    sep_qry = bound._encode(qry, fore[0, 0], False)
+    imgs = jnp.concatenate(
+        [supp.reshape((-1,) + supp.shape[2:]), qry[None]], axis=0)
+    masks = jnp.concatenate(
+        [fore.reshape((-1,) + fore.shape[2:]), fore[0, 0][None]], axis=0)
+    fts = bound._encode(imgs, masks, False)
+    np.testing.assert_array_equal(
+        np.asarray(fts[:-1].reshape((Wa, Sh) + fts.shape[1:])),
+        np.asarray(sep_supp))
+    np.testing.assert_array_equal(np.asarray(fts[-1]), np.asarray(sep_qry))
+
+
 def test_rpnet_train_mode_mutates_bn_and_aligns(rng):
     model = RPNet(backbone="UNet", scale=4, num_iter=2, radius=2, align=True)
     inputs = _episode_inputs(rng, B=2)
