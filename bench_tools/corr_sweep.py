@@ -95,6 +95,106 @@ def corr_swapped(fm1, fm2, r: int, h_tile: int = 16):
     return jnp.transpose(out, (0, 2, 3, 1)).astype(fm1.dtype)
 
 
+# ------------------------------------------- MXU + masked-rotate variant
+
+def _corr_rot_kernel(ft2p_hbm, ft1_ref, out_ref, scratch, sem, *,
+                     W_tile, Hdim, r, scale):
+    """MXU banded matmul + log2-masked-rotate band extraction.
+
+    Operates in (B, W, H, C)-transposed space: the fori shift `du` is the
+    ORIGINAL horizontal displacement dx, so each loop step's (2r+1) band
+    values land on lane-contiguous output channels du*d+dy (the package's
+    dx-major quirk) — one static roll + select per step instead of the
+    mask-reduce that sank local_correlation_pallas_mxu.
+
+    ft2p_hbm: (B, W+2r, 128, C) — dim2 = original H padded [r, r+H), zeros
+              elsewhere (the matmul N dim, lane-aligned at 128)
+    ft1_ref:  (1, W_tile, Hdim, C)
+    out_ref:  (1, W_tile, Hdim, 128) channels-last, lanes d²..127 stay zero
+    """
+    d = 2 * r + 1
+    b = pl.program_id(0)
+    wt = pl.program_id(1)
+
+    dma = pltpu.make_async_copy(
+        ft2p_hbm.at[b, pl.ds(wt * W_tile, W_tile + 2 * r), :, :],
+        scratch, sem)
+    dma.start()
+    ft1 = ft1_ref[0]                        # (Wt, H, C)
+    dma.wait()
+
+    # h-dependent left-rotate masks: bit k of the sublane index h of cdy
+    h_idx = jax.lax.broadcasted_iota(jnp.int32, (W_tile, Hdim, 128), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (W_tile, Hdim, 128), 2)
+    nbits = max(1, (Hdim - 1).bit_length())
+    bitmask = [(h_idx >> k) & 1 == 1 for k in range(nbits)]
+    acc_dtype = out_ref.dtype
+
+    def step(du, acc):
+        sub = scratch[pl.ds(du, W_tile)]    # (Wt, 128, C)
+        # cdy[wi, h, j] = Σc fm1[h, w, c]·fm2[j-r, w+du-r, c]   (MXU)
+        x = jax.lax.dot_general(ft1, sub, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        x = x * scale
+        # rotate lanes left by h (bit-decomposed): x[wi, h, dy] = cdy[wi, h, h+dy]
+        # (rolls stay f32 — pltpu.roll rejects bf16 on this Mosaic version)
+        for k in range(nbits):
+            sh = 1 << k
+            rolled = pltpu.roll(x, shift=128 - sh, axis=2)   # left by sh
+            x = jnp.where(bitmask[k], rolled, x)
+        # place the d valid lanes at channels [du*d, du*d+d); keep-masks are
+        # DISJOINT across du, so the merge is a pure select (no adds)
+        x = pltpu.roll(x, shift=du * d, axis=2)              # right by du*d
+        keep = (lane >= du * d) & (lane < du * d + d)
+        return jnp.where(keep, x.astype(acc_dtype), acc)
+
+    acc = jnp.zeros((W_tile, Hdim, 128), acc_dtype)
+    acc = jax.lax.fori_loop(0, d, step, acc)
+    out_ref[0] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("r", "w_tile", "full_lanes",
+                                             "out_f32"))
+def corr_rotmxu(fm1, fm2, r: int, w_tile: int = 16, full_lanes: bool = False,
+                out_f32: bool = True):
+    """MXU+rotate local correlation → (B, H, W, d²) (or (…,128) channels-last
+    zero-padded when full_lanes — lets the downstream 1×1 conv take K=128)."""
+    B, H, W, C = fm1.shape
+    d = 2 * r + 1
+    assert H + 2 * r <= 128, "rotate variant assumes H+2r <= 128"
+    scale = float(1.0 / np.sqrt(float(C)))
+    w_tile = min(w_tile, W)
+    if W % w_tile != 0:
+        w_tile = W
+    ft1 = jnp.transpose(fm1, (0, 2, 1, 3))           # (B, W, H, C)
+    ft2 = jnp.transpose(fm2, (0, 2, 1, 3))
+    ft2p = jnp.pad(ft2, ((0, 0), (r, r), (r, 128 - H - r), (0, 0)))
+    out_dtype = jnp.float32 if out_f32 else fm1.dtype
+
+    kernel = functools.partial(_corr_rot_kernel, W_tile=w_tile, Hdim=H,
+                               r=r, scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, W, H, 128), out_dtype),
+        grid=(B, W // w_tile),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),    # ft2p off-chip
+            pl.BlockSpec((1, w_tile, H, C), lambda b, w: (b, w, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, w_tile, H, 128), lambda b, w: (b, w, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((w_tile + 2 * r, 128, C), fm2.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(ft2p, ft1)
+    out = jnp.transpose(out, (0, 2, 1, 3))           # (B, H, W, 128)
+    if full_lanes:
+        return out.astype(fm1.dtype)
+    return out[..., :d * d].astype(fm1.dtype)
+
+
 # --------------------------------------------------------------- timing
 
 def timeit(fn, *args, n=20):
@@ -191,6 +291,19 @@ def main():
                        fm1h, fm2h)
         check_and_time("xla-mxu f32", jax.jit(functools.partial(local_correlation_mxu, r=r)),
                        fm1, fm2)
+        for wt in (8, 16, 32):
+            check_and_time(f"pallas-rotmxu f32 wt={wt}",
+                           functools.partial(corr_rotmxu, r=r, w_tile=wt),
+                           fm1, fm2)
+        for wt in (8, 16, 32, 64):
+            check_and_time(f"pallas-rotmxu bf16 wt={wt}",
+                           functools.partial(corr_rotmxu, r=r, w_tile=wt),
+                           fm1h, fm2h)
+        for wt in (16, 32, 64):
+            check_and_time(f"pallas-rotmxu bf16out wt={wt}",
+                           functools.partial(corr_rotmxu, r=r, w_tile=wt,
+                                             out_f32=False),
+                           fm1h, fm2h)
 
         best = min(rows, key=lambda t: t[1])
         print(f"\nbest fwd: {best[0]} at {best[1]:.3f} ms")

@@ -17,13 +17,46 @@ conv → 64, so the config option actually works.
 
 from __future__ import annotations
 
+import os
+
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from rpnet_tpu.models.blocks import Norm2d, TorchConv
+from rpnet_tpu.models.blocks import Norm2d, TorchConv, conv_kernel_init
 from rpnet_tpu.ops.correlation import local_correlation
 
 NUM_FEAT = 64
+
+
+class _ConvKernel(nn.Module):
+    """Bare 1×1-conv kernel param with a TorchConv-compatible tree path
+    (<name>/conv/kernel) so checkpoints and the torch converter are unchanged
+    while the CALLER chooses how to apply it (models/cre.py's rot path folds
+    a channel permutation + 121→128 zero-pad into the weights)."""
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        class _Holder(nn.Module):
+            features: int
+            in_features: int
+
+            @nn.compact
+            def __call__(self2):
+                return self2.param(
+                    "kernel", conv_kernel_init,
+                    (1, 1, self2.in_features, self2.features), jnp.float32)
+
+        return _Holder(self.features, self.in_features, name="conv")()
+
+
+def _conv1x1(x, kernel):
+    """Exactly nn.Conv's primitive for a 1×1 kernel (bit-identical path)."""
+    return jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 class ContextCorrelationEncoder(nn.Module):
@@ -41,7 +74,34 @@ class ContextCorrelationEncoder(nn.Module):
         fm2 = Norm2d(name="w_q_norm")(fm2, train)
         fm2 = nn.relu(fm2)
 
-        if self.use_pallas:
+        d = 2 * self.radius + 1
+        # q_conv_corr kernel as a bare param (same tree path as TorchConv)
+        corr_kernel = _ConvKernel(NUM_FEAT, d * d, name="q_conv_corr")()
+
+        impl = os.environ.get("RPNET_CORR_IMPL")
+        W = fm1.shape[-2]
+        on_tpu = jax.default_backend() == "tpu"
+        # default on TPU; RPNET_CORR_IMPL=rot forces it anywhere (interpret
+        # mode off-TPU — how tests/test_models.py covers the path on CPU)
+        use_rot = (self.use_pallas and not train
+                   and (impl == "rot" or (impl is None and on_tpu))
+                   and W + 2 * self.radius <= 128 and d * d <= 128)
+        if use_rot:
+            # eval fast path: MXU+rotate kernel emits channels-last dy-major
+            # (B, h, w, 128) with zero lanes d²..127; the permutation AND the
+            # pad fold into the conv weights — no transpose/slice/astype pass
+            # between kernel and conv (ops/pallas/correlation.py, ~40% faster
+            # than the VPU kernel at the eval shape). Eval-only: no backward,
+            # and training keeps f32-exact products (VPU kernel).
+            from rpnet_tpu.ops.pallas.correlation import (
+                local_correlation_pallas_rot, rot_channel_perm)
+            corr = local_correlation_pallas_rot(fm1, fm2, self.radius,
+                                                interpret=not on_tpu)
+            perm = rot_channel_perm(self.radius)
+            k128 = jnp.zeros((1, 1, 128, NUM_FEAT), corr_kernel.dtype)
+            k128 = k128.at[:, :, perm, :].set(corr_kernel)
+            corr_kernel = k128
+        elif self.use_pallas:
             # Pallas kernel on TPU for BOTH inference and training: the
             # trainable wrapper composes with the trainer's episode vmap
             # (custom_vmap folds episodes into the kernel's batch grid axis)
@@ -55,7 +115,7 @@ class ContextCorrelationEncoder(nn.Module):
         # which skips materializing the 377-channel concat every refinement
         # iteration (profiled at ~10ms/iter of pure HBM copies on v5e).
         # Checkpoint conversion splits the torch kernel accordingly.
-        x = (TorchConv(NUM_FEAT, (1, 1), use_bias=False, name="q_conv_corr")(corr)
+        x = (_conv1x1(corr, corr_kernel)
              + TorchConv(NUM_FEAT, (1, 1), name="q_conv_fm")(fm1))
         x = Norm2d(name="q_norm")(x, train)
         return nn.relu(x)

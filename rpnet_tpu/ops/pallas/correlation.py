@@ -265,6 +265,134 @@ def local_correlation_pallas_csub(fm1, fm2, r: int, h_tile: int = 16,
     return jnp.transpose(out, (0, 2, 3, 1)).astype(fm1.dtype)
 
 
+# ---------------------------------------- MXU + rotate-extract (eval path)
+
+def _corr_rot_kernel(fm2p_hbm, fm1_ref, out_ref, scratch, sem, *,
+                     H_tile, Wdim, r, scale):
+    """MXU banded matmul + log2-masked-rotate band extraction.
+
+    Replaces _corr_mxu_kernel's band-mask reductions (the VPU cost that sank
+    that variant end-to-end, docs/perf_trace_r2.md) with a lane rotation:
+    cdy[hi, w, j] needs j = w + dx, i.e. each sublane-row w left-rotated by w
+    — 6 masked static rolls (bit-decomposition of w) — after which the (2r+1)
+    valid values sit on lanes [0, d) and one static roll places them at
+    output channels [dv·d, dv·d+d). Channels-last output, dy-MAJOR channel
+    order ch2 = dy·d + dx (NOT the package quirk dx·d+dy): the intended
+    consumer is a 1×1 conv whose kernel rows absorb the permutation AND the
+    d²→128 zero-pad (see models/cre.py), so no XLA-side transpose, slice, or
+    astype pass remains between kernel and conv.
+
+    fm2p_hbm: (B, H+2r, 128, C) — dim2 = W padded [r, r+W), zeros elsewhere
+    fm1_ref:  (1, H_tile, W, C)
+    out_ref:  (1, H_tile, W, 128) channels-last; lanes d²..127 stay zero
+    """
+    d = 2 * r + 1
+    b = pl.program_id(0)
+    ht = pl.program_id(1)
+
+    dma = pltpu.make_async_copy(
+        fm2p_hbm.at[b, pl.ds(ht * H_tile, H_tile + 2 * r), :, :],
+        scratch, sem)
+    dma.start()
+    fm1 = fm1_ref[0]                        # (Ht, W, C)
+    dma.wait()
+
+    w_idx = jax.lax.broadcasted_iota(jnp.int32, (H_tile, Wdim, 128), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (H_tile, Wdim, 128), 2)
+    nbits = max(1, (Wdim - 1).bit_length())
+    bitmask = [(w_idx >> k) & 1 == 1 for k in range(nbits)]
+    acc_dtype = out_ref.dtype
+
+    def step(dv, acc):
+        sub = scratch[pl.ds(dv, H_tile)]    # (Ht, 128, C)
+        # cdy[hi, w, j] = Σc fm1[h, w, c]·fm2[h+dv-r, j-r, c]     (MXU)
+        x = jax.lax.dot_general(fm1, sub, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        x = x * scale
+        # rotate lanes left by w (bit-decomposed; f32 — pltpu.roll has no
+        # 16-bit lowering here): x[hi, w, dx] = cdy[hi, w, w+dx]
+        for k in range(nbits):
+            sh = 1 << k
+            rolled = pltpu.roll(x, shift=128 - sh, axis=2)
+            x = jnp.where(bitmask[k], rolled, x)
+        # place the d valid lanes at channels [dv·d, dv·d+d); the keep-masks
+        # are disjoint across dv, so the merge is a pure select (no adds)
+        x = pltpu.roll(x, shift=dv * d, axis=2)
+        keep = (lane >= dv * d) & (lane < dv * d + d)
+        return jnp.where(keep, x.astype(acc_dtype), acc)
+
+    acc = jax.lax.fori_loop(0, d, step,
+                            jnp.zeros((H_tile, Wdim, 128), acc_dtype))
+    out_ref[0] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("r", "h_tile", "interpret",
+                                             "out_f32"))
+def local_correlation_pallas_rot(fm1, fm2, r: int, h_tile: int = 32,
+                                 interpret: bool = False,
+                                 out_f32: bool = False):
+    """MXU+rotate local correlation → (B, H, W, 128), dy-major channels.
+
+    out[..., dy·(2r+1)+dx] = local_correlation(...)[..., dx·(2r+1)+dy];
+    lanes (2r+1)²..127 are zero. Use :func:`rot_to_quirk` to recover the
+    package-standard layout, or fold the permutation into the consumer's
+    weights (models/cre.py does). Defaults to storing in fm1's dtype (the
+    f32 MXU accumulation is rounded once at the final select) — on the bf16
+    eval path this halves the store and removes the downstream astype.
+
+    Measured at the eval CRE shape (32×64²×256, r=5, v5e, bf16):
+    3.9 ms incl. XLA fixups vs 6.2 ms for local_correlation_pallas
+    (bench_tools/corr_sweep.py `rotmxu` rows). f32 inputs run the MXU at
+    default precision (bf16 products) — use the VPU kernel where f32
+    product exactness matters (training keeps it).
+    """
+    B, H, W, C = fm1.shape
+    d = 2 * r + 1
+    if W + 2 * r > 128 or d * d > 128:
+        raise ValueError("rotate variant assumes W+2r <= 128 and (2r+1)² <= 128")
+    scale = float(1.0 / np.sqrt(float(C)))
+    h_tile = min(h_tile, H)
+    if H % h_tile != 0:
+        h_tile = H
+    out_dtype = jnp.float32 if out_f32 else fm1.dtype
+
+    fm2p = jnp.pad(fm2, ((0, 0), (r, r), (r, 128 - W - r), (0, 0)))
+    kernel = functools.partial(_corr_rot_kernel, H_tile=h_tile, Wdim=W,
+                               r=r, scale=scale)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, H, W, 128), out_dtype),
+        grid=(B, H // h_tile),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),    # fm2p off-chip
+            pl.BlockSpec((1, h_tile, W, C), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h_tile, W, 128), lambda b, h: (b, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((h_tile + 2 * r, 128, C), fm2.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(fm2p, fm1)
+
+
+def rot_channel_perm(r: int) -> np.ndarray:
+    """perm such that rot_out[..., perm] == quirk-ordered correlation.
+
+    perm[dx·d+dy] = dy·d+dx — also the row scatter for folding the layout
+    into a consumer's weight matrix: w128[perm[q]] = w121[q]."""
+    d = 2 * r + 1
+    dx, dy = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+    return (dy * d + dx).reshape(-1)
+
+
+def rot_to_quirk(out128, r: int):
+    """(B, H, W, 128) rot-kernel output → (B, H, W, (2r+1)²) quirk order."""
+    return out128[..., rot_channel_perm(r)]
+
+
 # ------------------------------------------------------- backward kernel
 
 def _corr_bwd_kernel(gp5_hbm, fm1p_hbm, fm2p_hbm, dfm1_ref, dfm2_ref,

@@ -190,6 +190,23 @@ def test_rpnet_eval_merged_encode_exact(rng, backbone, scale, Sh):
     np.testing.assert_array_equal(np.asarray(fts[-1]), np.asarray(sep_qry))
 
 
+def test_cre_rot_path_matches_default(rng, monkeypatch):
+    """The eval fast path (MXU+rotate kernel, permutation folded into the
+    q_conv_corr weights — models/cre.py) computes the same CRE output as the
+    default path. RPNET_CORR_IMPL=rot forces it on CPU (interpret mode)."""
+    cre = ContextCorrelationEncoder(radius=2)
+    f1 = jnp.asarray(rng.randn(2, 16, 16, 32).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(2, 16, 16, 32).astype(np.float32))
+    monkeypatch.delenv("RPNET_CORR_IMPL", raising=False)
+    variables = cre.init(jax.random.PRNGKey(0), f1, f2, False)
+    base = np.asarray(cre.apply(variables, f1, f2, False))
+    monkeypatch.setenv("RPNET_CORR_IMPL", "rot")
+    rot = np.asarray(cre.apply(variables, f1, f2, False))
+    np.testing.assert_allclose(rot, base, atol=1e-5)
+    # param tree path unchanged (checkpoint/converter compatibility)
+    assert "kernel" in variables["params"]["q_conv_corr"]["conv"]
+
+
 def test_rpnet_train_mode_mutates_bn_and_aligns(rng):
     model = RPNet(backbone="UNet", scale=4, num_iter=2, radius=2, align=True)
     inputs = _episode_inputs(rng, B=2)

@@ -179,6 +179,27 @@ def test_pallas_correlation_matches_xla(rng, r, h_tile):
     np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
+@pytest.mark.parametrize("r,h_tile", [(2, 8), (5, 16)])
+def test_pallas_rot_correlation_matches_xla(rng, r, h_tile):
+    """MXU+rotate kernel (interpret mode) ≡ XLA after the dy-major→quirk
+    permutation; lanes (2r+1)²..127 are zero (the 1×1-conv zero-pad
+    contract, models/cre.py)."""
+    from rpnet_tpu.ops.pallas.correlation import (local_correlation_pallas_rot,
+                                                  rot_to_quirk)
+
+    B, H, W, C = 2, 16, 16, 64
+    d = 2 * r + 1
+    f1 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    ref = np.asarray(local_correlation(f1, f2, r))
+    out128 = local_correlation_pallas_rot(f1, f2, r, h_tile=h_tile,
+                                          interpret=True, out_f32=True)
+    assert out128.shape == (B, H, W, 128)
+    np.testing.assert_array_equal(np.asarray(out128[..., d * d:]), 0.0)
+    out = np.asarray(rot_to_quirk(out128, r))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
 def test_mxu_correlation_matches_local(rng):
     from rpnet_tpu.ops.correlation import local_correlation_mxu
 
