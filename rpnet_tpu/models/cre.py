@@ -94,9 +94,9 @@ class ContextCorrelationEncoder(nn.Module):
             # than the VPU kernel at the eval shape). Eval-only: no backward,
             # and training keeps f32-exact products (VPU kernel).
             from rpnet_tpu.ops.pallas.correlation import (
-                local_correlation_pallas_rot, rot_channel_perm)
-            corr = local_correlation_pallas_rot(fm1, fm2, self.radius,
-                                                interpret=not on_tpu)
+                pallas_rot_vmappable, rot_channel_perm)
+            corr = pallas_rot_vmappable(self.radius,
+                                        interpret=not on_tpu)(fm1, fm2)
             perm = rot_channel_perm(self.radius)
             k128 = jnp.zeros((1, 1, 128, NUM_FEAT), corr_kernel.dtype)
             k128 = k128.at[:, :, perm, :].set(corr_kernel)

@@ -378,6 +378,33 @@ def local_correlation_pallas_rot(fm1, fm2, r: int, h_tile: int = 32,
     )(fm2p, fm1)
 
 
+@functools.lru_cache(maxsize=None)
+def pallas_rot_vmappable(r: int, interpret: bool = False):
+    """local_correlation_pallas_rot composed with vmap: the episode axis
+    folds into the kernel's batch grid axis (one launch), mirroring
+    pallas_correlation_trainable's rule — what --batch-episodes needs (the
+    default pallas vmap rule rejects memory_space=ANY operands)."""
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def f(fm1, fm2):
+        return local_correlation_pallas_rot(fm1, fm2, r, interpret=interpret)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, fm1, fm2):  # noqa: ANN001
+        b1, b2 = in_batched
+        if not b1:
+            fm1 = jnp.broadcast_to(fm1[None], (axis_size,) + fm1.shape)
+        if not b2:
+            fm2 = jnp.broadcast_to(fm2[None], (axis_size,) + fm2.shape)
+        E, B = fm1.shape[:2]
+        out = f(fm1.reshape((E * B,) + fm1.shape[2:]),
+                fm2.reshape((E * B,) + fm2.shape[2:]))
+        return out.reshape((E, B) + out.shape[1:]), True
+
+    return f
+
+
 def rot_channel_perm(r: int) -> np.ndarray:
     """perm such that rot_out[..., perm] == quirk-ordered correlation.
 

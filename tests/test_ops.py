@@ -200,6 +200,23 @@ def test_pallas_rot_correlation_matches_xla(rng, r, h_tile):
     np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
+def test_pallas_rot_vmap_folds_episode_axis(rng):
+    """vmap of the rot kernel folds the episode axis into the batch grid
+    (custom_vmap rule) and matches per-episode application."""
+    import jax
+
+    from rpnet_tpu.ops.pallas.correlation import pallas_rot_vmappable
+
+    r = 2
+    f = pallas_rot_vmappable(r, interpret=True)
+    f1 = jnp.asarray(rng.randn(3, 2, 8, 8, 32).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(3, 2, 8, 8, 32).astype(np.float32))
+    batched = np.asarray(jax.vmap(f)(f1, f2))
+    for e in range(3):
+        np.testing.assert_allclose(np.asarray(f(f1[e], f2[e])), batched[e],
+                                   atol=1e-6)
+
+
 def test_mxu_correlation_matches_local(rng):
     from rpnet_tpu.ops.correlation import local_correlation_mxu
 
