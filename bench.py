@@ -51,6 +51,9 @@ def main():
                          "the framework eval default — round-3 A/B in "
                          "docs/perf_trace_r3.md; registration and metrics "
                          "always run f32)")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler device trace of the timed "
+                         "loop into DIR and print the top-op summary")
     ap.add_argument("--batch-episodes", type=int, default=1,
                     help="episodes per dispatch (vmapped program): >1 "
                          "amortizes the per-dispatch host gap and batches "
@@ -170,6 +173,17 @@ def main():
     log(f"{n_measured} episodes ({n_disp} dispatches) in {wall:.2f}s → "
         f"{eps_per_sec:.3f} eps/s, "
         f"{slices_per_sec:.1f} slices/s; dsc_affine={float(out['dsc_affine']):.3f}")
+
+    if args.profile:
+        # op-level attribution of the episode program (device trace over
+        # n_disp dispatches; per-episode ms = dur / n_measured)
+        from rpnet_tpu.utils.profiling import summarize_trace, trace
+        with trace(args.profile):
+            outs = [fn(variables, *eps[i % len(eps)]) for i in range(n_disp)]
+            jax.block_until_ready(outs)
+        log(f"--- top device ops (ms/episode over {n_measured} episodes) ---")
+        for name, dur, cnt in summarize_trace(args.profile, top=30):
+            log(f"{dur / n_measured:9.3f} ms {cnt:6d}x  {name[:100]}")
 
     baseline = None
     if os.path.exists(BASELINE_FILE):

@@ -70,16 +70,34 @@ def trace(log_dir: str):
 
 def summarize_trace(log_dir: str, top: int = 20) -> List[Tuple[str, float, int]]:
     """Aggregate device-op durations from the newest trace.json.gz under
-    ``log_dir``. Returns [(op_name, total_ms, count)] sorted by time."""
+    ``log_dir``. Returns [(op_name, total_ms, count)] sorted by time.
+
+    Only events on a device process's "XLA Ops" timeline are counted (one
+    row per executed HLO op, no double counting from the module/step rows
+    and no host-side python TraceMe frames); if the trace has no such
+    timeline (e.g. CPU platform), all complete events are aggregated.
+    """
     files = sorted(glob.glob(os.path.join(log_dir, "**", "*.trace.json.gz"),
                              recursive=True))
     if not files:
         raise FileNotFoundError(f"no trace.json.gz under {log_dir}")
     data = json.load(gzip.open(files[-1]))
+    events = data.get("traceEvents", [])
+    pid_name, tid_name = {}, {}
+    for e in events:
+        if e.get("ph") == "M" and "args" in e:
+            if e.get("name") == "process_name":
+                pid_name[e["pid"]] = e["args"].get("name", "")
+            elif e.get("name") == "thread_name":
+                tid_name[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
+    op_rows = {key for key, name in tid_name.items()
+               if name == "XLA Ops" and
+               pid_name.get(key[0], "").startswith("/device")}
     agg = collections.Counter()
     cnt = collections.Counter()
-    for e in data.get("traceEvents", []):
-        if e.get("ph") == "X" and "dur" in e:
+    for e in events:
+        if e.get("ph") == "X" and "dur" in e and (
+                not op_rows or (e.get("pid"), e.get("tid")) in op_rows):
             agg[e.get("name", "?")] += e["dur"]
             cnt[e.get("name", "?")] += 1
     return [(name, dur / 1000.0, cnt[name]) for name, dur in agg.most_common(top)]
