@@ -132,6 +132,19 @@ def register_slice(src, dst, src_label, *, affine_iters: int = 50,
     )
 
 
+def _fit_theta_slice(src01, dst01, *, affine_iters, lr, fit_scale, sampler):
+    """Pooled affine fit for one slice → theta (the vmapped part)."""
+    if fit_scale > 1:
+        from rpnet_tpu.ops.sampling import avg_pool2d
+        src_fit = avg_pool2d(src01[None], fit_scale)[0]
+        dst_fit = avg_pool2d(dst01[None], fit_scale)[0]
+    else:
+        src_fit, dst_fit = src01, dst01
+    theta, _ = fit_affine(src_fit, dst_fit, iters=affine_iters, lr=lr,
+                          sampler=sampler)
+    return theta
+
+
 @partial(jax.jit, static_argnames=("affine_iters", "demons_iters",
                                    "diffeo_scaling", "fit_scale", "sampler"))
 def register_episode(support_imgs, query_imgs, support_labels, *,
@@ -139,12 +152,72 @@ def register_episode(support_imgs, query_imgs, support_labels, *,
                      lr: float = 0.01, sigma: float = 2.0,
                      diffeo_scaling: int = 10, fit_scale: int = 1,
                      sampler: str = "matmul") -> RegistrationResult:
-    """vmap :func:`register_slice` over the slice axis.
+    """Register every support slice onto its query slice, batched.
 
     support_imgs, query_imgs: (S, H, W) in [-1, 1]; support_labels: (S, H, W).
+
+    Equivalent to ``vmap(register_slice)``, but on the matmul path only the
+    Adam FIT loops are vmapped per slice; the full-resolution warps run as
+    ONE batched call over all S slices. Besides better MXU batching, this
+    keeps the banded sampler's per-chunk ``lax.cond`` a SCALAR branch —
+    under a per-slice vmap it would lower to select(banded, dense) and
+    execute both.
     """
-    fn = partial(register_slice, affine_iters=affine_iters,
-                 demons_iters=demons_iters, lr=lr, sigma=sigma,
-                 diffeo_scaling=diffeo_scaling, fit_scale=fit_scale,
-                 sampler=sampler)
-    return jax.vmap(fn)(support_imgs, query_imgs, support_labels)
+    if sampler != "matmul":
+        # reference-exact gather path: per-slice program, unchanged
+        fn = partial(register_slice, affine_iters=affine_iters,
+                     demons_iters=demons_iters, lr=lr, sigma=sigma,
+                     diffeo_scaling=diffeo_scaling, fit_scale=fit_scale,
+                     sampler=sampler)
+        return jax.vmap(fn)(support_imgs, query_imgs, support_labels)
+
+    from rpnet_tpu.ops.sampling import (affine_grid,
+                                        grid_sample_matmul_chunked,
+                                        identity_grid_coords_1d,
+                                        separable_grid_sample)
+
+    S, H, W = support_imgs.shape
+    src01 = ((support_imgs + 1.0) * 0.5)[..., None]       # (S, H, W, 1)
+    dst01 = ((query_imgs + 1.0) * 0.5)[..., None]
+    label = support_labels[..., None]
+
+    theta = jax.vmap(partial(_fit_theta_slice, affine_iters=affine_iters,
+                             lr=lr, fit_scale=fit_scale,
+                             sampler=sampler))(src01, dst01)   # (S, 2, 3)
+
+    # one batched 2-channel full-res warp (label + image) for ALL slices
+    both = jnp.concatenate([label, src01], axis=-1)       # (S, H, W, 2)
+    grid = affine_grid(theta, (S, 2, H, W), align_corners=False)
+    warped_both = grid_sample_matmul_chunked(both, grid)
+    affine_lab = warped_both[..., :1]
+    affined_src01 = warped_both[..., 1:]
+
+    grid_chw = compute_grid((H, W), dtype=support_imgs.dtype)[0]
+    if demons_iters == 0:
+        flow = jnp.zeros((S, 2, H, W), support_imgs.dtype)
+        # zero-flow demons warp ≡ resample through the static identity grid
+        # (separable — two matmuls); see register_slice for the semantics
+        xs = identity_grid_coords_1d(W)
+        ys = identity_grid_coords_1d(H)
+        warped_both2 = separable_grid_sample(warped_both, xs, ys)
+    else:
+        fitfn = partial(fit_demons, iters=demons_iters, lr=lr,
+                        sigma=(sigma, sigma), diffeomorphic=True,
+                        scaling=diffeo_scaling)
+        flow = jax.vmap(lambda a, d: fitfn(a, d)[0])(affined_src01, dst01)
+        warped_both2 = jax.vmap(
+            lambda b, f: demons_warp(b, f, grid_chw, diffeomorphic=True,
+                                     scaling=diffeo_scaling))(warped_both, flow)
+    warped_lab = warped_both2[..., :1]
+    warped_src01 = warped_both2[..., 1:]
+
+    dt = support_imgs.dtype
+    return RegistrationResult(
+        theta=theta,
+        flow=flow,
+        warped_label=(warped_lab[..., 0] > 0.1).astype(dt),
+        affine_label=(affine_lab[..., 0] > 0.1).astype(dt),
+        warped_src=warped_src01[..., 0] * 2.0 - 1.0,
+        affine_src=affined_src01[..., 0] * 2.0 - 1.0,
+        grid=jnp.broadcast_to(grid_chw, (S, 2, H, W)),
+    )

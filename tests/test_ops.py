@@ -252,6 +252,87 @@ def test_grid_sample_matmul_chunked_matches(rng):
     np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
+def test_grid_sample_matmul_chunked_banded_matches(rng):
+    """The banded h-contraction (auto-on at H≥128) ≡ gather oracle for a
+    small-rotation affine grid (the production registration case), AND the
+    per-chunk lax.cond falls back to the dense path for a 90°-rotation grid
+    whose source-row span exceeds the band."""
+    from rpnet_tpu.ops.sampling import (affine_grid, grid_sample,
+                                        grid_sample_matmul_chunked)
+
+    H = W = 160
+    x = jnp.asarray(rng.randn(2, H, W, 2).astype(np.float32))
+    # small rotation + shift: every 16-row chunk's source rows fit a 64-band
+    th = np.array([[[0.98, 0.05, 0.03], [-0.05, 0.98, -0.06]],
+                   [[1.02, -0.04, -0.05], [0.04, 1.02, 0.02]]], np.float32)
+    grid = affine_grid(jnp.asarray(th), (2, 2, H, W), align_corners=False)
+    # banded ≡ forced-dense to accumulation noise (identical weight formula;
+    # zero-weight rows add exact zeros); the gather oracle computes sample
+    # positions with a different f32 rounding (~eps·H), hence the looser atol
+    ref = np.asarray(grid_sample(x, grid))
+    dense = np.asarray(grid_sample_matmul_chunked(x, grid, band=0,
+                                                  precision="highest"))
+    out = np.asarray(grid_sample_matmul_chunked(x, grid, precision="highest"))
+    np.testing.assert_allclose(out, dense, atol=1e-6)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+    # 90° rotation: iy varies with the output COLUMN, so one 160-wide chunk
+    # spans ~160 source rows > band=64 → cond must take the dense path
+    th90 = np.array([[[0.0, 1.0, 0.0], [-1.0, 0.0, 0.0]]] * 2, np.float32)
+    grid90 = affine_grid(jnp.asarray(th90), (2, 2, H, W), align_corners=False)
+    dense90 = np.asarray(grid_sample_matmul_chunked(x, grid90, band=0,
+                                                    precision="highest"))
+    out90 = np.asarray(grid_sample_matmul_chunked(x, grid90,
+                                                  precision="highest"))
+    np.testing.assert_allclose(out90, dense90, atol=1e-6)
+
+    # forced band wider than H → dense fast-path branch (band >= H)
+    out_f = np.asarray(grid_sample_matmul_chunked(x, grid, band=H,
+                                                  precision="highest"))
+    np.testing.assert_allclose(out_f, dense, atol=1e-6)
+
+
+def test_register_episode_batched_warp_matches_per_slice(rng):
+    """register_episode's batched-warp composition ≡ vmap(register_slice)
+    (the matmul path restructure that hoists full-res warps out of the
+    per-slice vmap)."""
+    import jax
+
+    from rpnet_tpu.registration.fit import register_episode, register_slice
+
+    H = W = 128
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    lab = ((((yy - 60) / 30.0) ** 2 + ((xx - 70) / 24.0) ** 2) < 1)
+    lab = lab.astype(np.float32)
+    src = (lab * 0.8 - 0.5 + 0.05 * rng.randn(H, W)).astype(np.float32)
+    lab2 = ((((yy - 70) / 31.0) ** 2 + ((xx - 58) / 25.0) ** 2) < 1)
+    dst = (lab2 * 0.8 - 0.5 + 0.05 * rng.randn(H, W)).astype(np.float32)
+    S = 2
+    supp = jnp.asarray(np.stack([src] * S))
+    qry = jnp.asarray(np.stack([dst] * S))
+    labs = jnp.asarray(np.stack([lab] * S))
+
+    kw = dict(affine_iters=6, demons_iters=0, fit_scale=4)
+    batched = register_episode(supp, qry, labs, **kw)
+    ref = jax.vmap(lambda a, b, c: register_slice(a, b, c, **kw))(
+        supp, qry, labs)
+    np.testing.assert_allclose(np.asarray(batched.theta),
+                               np.asarray(ref.theta), atol=1e-6)
+    for name in ("warped_label", "affine_label", "warped_src", "affine_src"):
+        np.testing.assert_allclose(np.asarray(getattr(batched, name)),
+                                   np.asarray(getattr(ref, name)),
+                                   atol=2e-5, err_msg=name)
+    # demons path: batched composition ≡ per-slice too
+    kw2 = dict(affine_iters=4, demons_iters=3, fit_scale=4)
+    b2 = register_episode(supp, qry, labs, **kw2)
+    r2 = jax.vmap(lambda a, b, c: register_slice(a, b, c, **kw2))(
+        supp, qry, labs)
+    np.testing.assert_allclose(np.asarray(b2.flow), np.asarray(r2.flow),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(b2.warped_src),
+                               np.asarray(r2.warped_src), atol=2e-5)
+
+
 def test_pallas_vjp_backward_matches_xla_grad(rng):
     """Analytic backward of the Pallas wrapper ≡ autodiff of the XLA path."""
     import jax
