@@ -282,7 +282,16 @@ def _corr_rot_kernel(fm2p_hbm, fm1_ref, out_ref, scratch, sem, *,
     d²→128 zero-pad (see models/cre.py), so no XLA-side transpose, slice, or
     astype pass remains between kernel and conv.
 
-    fm2p_hbm: (B, H+2r, 128, C) — dim2 = W padded [r, r+W), zeros elsewhere
+    fm2p_hbm: (B, H+2r, W, C) — rows padded r/r, width UNPADDED: the slab is
+              DMA'd into columns [0, W) of the 128-lane scratch whose columns
+              [W, 128) are zeroed ONCE (first grid step; the DMA never touches
+              them, and the TPU grid is sequential, so they stay zero). The
+              missing ±r column pad is folded into the rotation instead: the
+              displacement dx lives at column j = w+dx−r, and out-of-image js
+              (j<0 wraps to [128−r,128), j≥W lands in [W,W+r)) both fall in
+              the zeroed region — exactly the zero padding, with no 2× width
+              pad materialized in HBM (was ~155 MB written + 176 MB DMA'd per
+              refinement iteration at the eval shape).
     fm1_ref:  (1, H_tile, W, C)
     out_ref:  (1, H_tile, W, 128) channels-last; lanes d²..127 stay zero
     """
@@ -290,9 +299,13 @@ def _corr_rot_kernel(fm2p_hbm, fm1_ref, out_ref, scratch, sem, *,
     b = pl.program_id(0)
     ht = pl.program_id(1)
 
+    @pl.when((b == 0) & (ht == 0))
+    def _zero_pad_lanes():
+        scratch[:, Wdim:, :] = jnp.zeros_like(scratch[:, Wdim:, :])
+
     dma = pltpu.make_async_copy(
         fm2p_hbm.at[b, pl.ds(ht * H_tile, H_tile + 2 * r), :, :],
-        scratch, sem)
+        scratch.at[:, :Wdim, :], sem)
     dma.start()
     fm1 = fm1_ref[0]                        # (Ht, W, C)
     dma.wait()
@@ -305,19 +318,21 @@ def _corr_rot_kernel(fm2p_hbm, fm1_ref, out_ref, scratch, sem, *,
 
     def step(dv, acc):
         sub = scratch[pl.ds(dv, H_tile)]    # (Ht, 128, C)
-        # cdy[hi, w, j] = Σc fm1[h, w, c]·fm2[h+dv-r, j-r, c]     (MXU)
+        # cdy[hi, w, j] = Σc fm1[h, w, c]·fm2[h+dv-r, j, c]       (MXU)
         x = jax.lax.dot_general(fm1, sub, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
         x = x * scale
         # rotate lanes left by w (bit-decomposed; f32 — pltpu.roll has no
-        # 16-bit lowering here): x[hi, w, dx] = cdy[hi, w, w+dx]
+        # 16-bit lowering here): x[hi, w, l] = cdy[hi, w, w+l]
         for k in range(nbits):
             sh = 1 << k
             rolled = pltpu.roll(x, shift=128 - sh, axis=2)
             x = jnp.where(bitmask[k], rolled, x)
-        # place the d valid lanes at channels [dv·d, dv·d+d); the keep-masks
-        # are disjoint across dv, so the merge is a pure select (no adds)
-        x = pltpu.roll(x, shift=dv * d, axis=2)
+        # displacement dx sits at lane (dx−r) mod 128; one static roll both
+        # undoes the −r column offset AND places the d valid lanes at
+        # channels [dv·d, dv·d+d) — the keep-masks are disjoint across dv,
+        # so the merge is a pure select (no adds)
+        x = pltpu.roll(x, shift=dv * d + r, axis=2)
         keep = (lane >= dv * d) & (lane < dv * d + d)
         return jnp.where(keep, x.astype(acc_dtype), acc)
 
@@ -356,7 +371,9 @@ def local_correlation_pallas_rot(fm1, fm2, r: int, h_tile: int = 32,
         h_tile = H
     out_dtype = jnp.float32 if out_f32 else fm1.dtype
 
-    fm2p = jnp.pad(fm2, ((0, 0), (r, r), (r, 128 - W - r), (0, 0)))
+    # rows padded r/r only; the column pad is virtual (zeroed scratch lanes
+    # + a rotation offset in-kernel) — see _corr_rot_kernel
+    fm2p = jnp.pad(fm2, ((0, 0), (r, r), (0, 0), (0, 0)))
     kernel = functools.partial(_corr_rot_kernel, H_tile=h_tile, Wdim=W,
                                r=r, scale=scale)
     return pl.pallas_call(
