@@ -267,72 +267,110 @@ def local_correlation_pallas_csub(fm1, fm2, r: int, h_tile: int = 16,
 
 # ---------------------------------------- MXU + rotate-extract (eval path)
 
-def _corr_rot_kernel(fm2p_hbm, fm1_ref, out_ref, scratch, sem, *,
+def _corr_rot_kernel(fm2_hbm, fm1_ref, out_ref, scratch, sem, *,
                      H_tile, Wdim, r, scale):
-    """MXU banded matmul + log2-masked-rotate band extraction.
+    """MXU banded matmul + ONE strided-rotate band extraction.
 
     Replaces _corr_mxu_kernel's band-mask reductions (the VPU cost that sank
-    that variant end-to-end, docs/perf_trace_r2.md) with a lane rotation:
-    cdy[hi, w, j] needs j = w + dx, i.e. each sublane-row w left-rotated by w
-    — 6 masked static rolls (bit-decomposition of w) — after which the (2r+1)
-    valid values sit on lanes [0, d) and one static roll places them at
-    output channels [dv·d, dv·d+d). Channels-last output, dy-MAJOR channel
-    order ch2 = dy·d + dx (NOT the package quirk dx·d+dy): the intended
-    consumer is a 1×1 conv whose kernel rows absorb the permutation AND the
-    d²→128 zero-pad (see models/cre.py), so no XLA-side transpose, slice, or
-    astype pass remains between kernel and conv.
+    that variant end-to-end, docs/perf_trace_r2.md) with a single hardware
+    strided lane rotation. fm2 arrives column-REVERSED (the wrapper flips W,
+    fused into its pad), so displacement dx of query column w sits at dot
+    lane m = (W−1+r) − w − dx; ``pltpu.roll(stride=1, stride_axis=1)``
+    right-rotates sublane-row w by w, which cancels the −w and parks dx at
+    the CONSTANT lane (W−1+r−dx) mod 128 for every row — one roll where the
+    round-2 kernel needed a 6-step masked bit-decomposition of w (measured
+    0.82 → 0.10 ms/call at the eval shape). One more static roll places the
+    d valid lanes at output channels [dv·d, dv·d+d). Channels-last output,
+    dy-major dx-REVERSED order ch = dy·d + (d−1−dx) (NOT the package quirk
+    dx·d+dy): the intended consumer is a 1×1 conv whose kernel rows absorb
+    the permutation AND the d²→128 zero-pad (see models/cre.py), so no
+    XLA-side transpose, slice, or astype pass remains between kernel and
+    conv — rot_channel_perm is the single source of truth for the order.
 
-    fm2p_hbm: (B, H+2r, W, C) — rows padded r/r, width UNPADDED: the slab is
-              DMA'd into columns [0, W) of the 128-lane scratch whose columns
-              [W, 128) are zeroed ONCE (first grid step; the DMA never touches
-              them, and the TPU grid is sequential, so they stay zero). The
-              missing ±r column pad is folded into the rotation instead: the
-              displacement dx lives at column j = w+dx−r, and out-of-image js
-              (j<0 wraps to [128−r,128), j≥W lands in [W,W+r)) both fall in
-              the zeroed region — exactly the zero padding, with no 2× width
-              pad materialized in HBM (was ~155 MB written + 176 MB DMA'd per
-              refinement iteration at the eval shape).
+    fm2_hbm:  (B, H, W, C) — columns REVERSED, rows AND width UNPADDED: both
+              pads are virtual, so no padded copy of fm2 is ever materialized
+              in HBM (was ~78 MB written + re-read per refinement iteration).
+              Width: the slab is DMA'd into columns [0, W) of the 128-lane
+              scratch whose columns [W, 128) are zeroed ONCE (first grid
+              step; the DMA never touches them, and the TPU grid is
+              sequential, so they stay zero); out-of-image displacements map
+              to lanes [W, W+r) ∪ [128−r, 128), all inside that region.
+              Rows: the halo DMA is predicated per tile — edge tiles copy
+              only the in-image rows (row offsets into scratch ride the
+              untiled leading dim, which is free) and memset the halo rows;
+              interior tiles do the plain full-slab copy.
     fm1_ref:  (1, H_tile, W, C)
     out_ref:  (1, H_tile, W, 128) channels-last; lanes d²..127 stay zero
     """
     d = 2 * r + 1
     b = pl.program_id(0)
     ht = pl.program_id(1)
+    n_ht = pl.num_programs(1)
+    H = n_ht * H_tile
+    row0 = ht * H_tile
 
     @pl.when((b == 0) & (ht == 0))
     def _zero_pad_lanes():
         scratch[:, Wdim:, :] = jnp.zeros_like(scratch[:, Wdim:, :])
 
-    dma = pltpu.make_async_copy(
-        fm2p_hbm.at[b, pl.ds(ht * H_tile, H_tile + 2 * r), :, :],
-        scratch.at[:, :Wdim, :], sem)
-    dma.start()
-    fm1 = fm1_ref[0]                        # (Ht, W, C)
-    dma.wait()
+    if n_ht == 1:
+        # single tile: rows [−r, H+r) → copy [0, H) at offset r, zero halos
+        scratch[:r, :Wdim, :] = jnp.zeros_like(scratch[:r, :Wdim, :])
+        scratch[r + H_tile:, :Wdim, :] = jnp.zeros_like(
+            scratch[r + H_tile:, :Wdim, :])
+        dma = pltpu.make_async_copy(
+            fm2_hbm.at[b, :, :, :], scratch.at[pl.ds(r, H_tile), :Wdim, :],
+            sem)
+        dma.start()
+        fm1 = fm1_ref[0]
+        dma.wait()
+    else:
+        @pl.when(ht == 0)
+        def _top():
+            scratch[:r, :Wdim, :] = jnp.zeros_like(scratch[:r, :Wdim, :])
+            dma = pltpu.make_async_copy(
+                fm2_hbm.at[b, pl.ds(0, H_tile + r), :, :],
+                scratch.at[pl.ds(r, H_tile + r), :Wdim, :], sem)
+            dma.start()
+            dma.wait()
 
-    w_idx = jax.lax.broadcasted_iota(jnp.int32, (H_tile, Wdim, 128), 1)
+        @pl.when(ht == n_ht - 1)
+        def _bottom():
+            scratch[H_tile + r:, :Wdim, :] = jnp.zeros_like(
+                scratch[H_tile + r:, :Wdim, :])
+            dma = pltpu.make_async_copy(
+                fm2_hbm.at[b, pl.ds(H - H_tile - r, H_tile + r), :, :],
+                scratch.at[pl.ds(0, H_tile + r), :Wdim, :], sem)
+            dma.start()
+            dma.wait()
+
+        @pl.when((ht > 0) & (ht < n_ht - 1))
+        def _interior():
+            dma = pltpu.make_async_copy(
+                fm2_hbm.at[b, pl.ds(row0 - r, H_tile + 2 * r), :, :],
+                scratch.at[:, :Wdim, :], sem)
+            dma.start()
+            dma.wait()
+
+        fm1 = fm1_ref[0]                    # (Ht, W, C)
+
     lane = jax.lax.broadcasted_iota(jnp.int32, (H_tile, Wdim, 128), 2)
-    nbits = max(1, (Wdim - 1).bit_length())
-    bitmask = [(w_idx >> k) & 1 == 1 for k in range(nbits)]
     acc_dtype = out_ref.dtype
 
     def step(dv, acc):
         sub = scratch[pl.ds(dv, H_tile)]    # (Ht, 128, C)
-        # cdy[hi, w, j] = Σc fm1[h, w, c]·fm2[h+dv-r, j, c]       (MXU)
+        # x[hi, w, m] = Σc fm1[h, w, c]·fm2[h+dv-r, W-1-m, c]     (MXU);
+        # displacement dx ⇔ source col j = w+dx−r ⇔ lane m = (W−1+r)−w−dx
         x = jax.lax.dot_general(fm1, sub, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
         x = x * scale
-        # rotate lanes left by w (bit-decomposed; f32 — pltpu.roll has no
-        # 16-bit lowering here): x[hi, w, l] = cdy[hi, w, w+l]
-        for k in range(nbits):
-            sh = 1 << k
-            rolled = pltpu.roll(x, shift=128 - sh, axis=2)
-            x = jnp.where(bitmask[k], rolled, x)
-        # displacement dx sits at lane (dx−r) mod 128; one static roll both
-        # undoes the −r column offset AND places the d valid lanes at
-        # channels [dv·d, dv·d+d) — the keep-masks are disjoint across dv,
-        # so the merge is a pure select (no adds)
-        x = pltpu.roll(x, shift=dv * d + r, axis=2)
+        # ONE strided roll: right-rotate sublane-row w by w cancels the −w,
+        # parking dx at the constant lane (W−1+r−dx) mod 128 for every row
+        x = pltpu.roll(x, shift=0, axis=2, stride=1, stride_axis=1)
+        # place the d valid lanes at channels [dv·d, dv·d+d), dx reversed
+        # (ch = dv·d + d−1−dx); the keep-masks are disjoint across dv, so
+        # the merge is a pure select (no adds)
+        x = pltpu.roll(x, shift=(dv * d + d - Wdim - r) % 128, axis=2)
         keep = (lane >= dv * d) & (lane < dv * d + d)
         return jnp.where(keep, x.astype(acc_dtype), acc)
 
@@ -346,12 +384,13 @@ def _corr_rot_kernel(fm2p_hbm, fm1_ref, out_ref, scratch, sem, *,
 def local_correlation_pallas_rot(fm1, fm2, r: int, h_tile: int = 32,
                                  interpret: bool = False,
                                  out_f32: bool = False):
-    """MXU+rotate local correlation → (B, H, W, 128), dy-major channels.
+    """MXU+rotate local correlation → (B, H, W, 128), dy-major dx-reversed.
 
-    out[..., dy·(2r+1)+dx] = local_correlation(...)[..., dx·(2r+1)+dy];
+    out[..., dy·d + (d−1−dx)] = local_correlation(...)[..., dx·d+dy] (d=2r+1);
     lanes (2r+1)²..127 are zero. Use :func:`rot_to_quirk` to recover the
     package-standard layout, or fold the permutation into the consumer's
-    weights (models/cre.py does). Defaults to storing in fm1's dtype (the
+    weights (models/cre.py does — rot_channel_perm is the single source of
+    truth for the order). Defaults to storing in fm1's dtype (the
     f32 MXU accumulation is rounded once at the final select) — on the bf16
     eval path this halves the store and removes the downstream astype.
 
@@ -371,9 +410,10 @@ def local_correlation_pallas_rot(fm1, fm2, r: int, h_tile: int = 32,
         h_tile = H
     out_dtype = jnp.float32 if out_f32 else fm1.dtype
 
-    # rows padded r/r only; the column pad is virtual (zeroed scratch lanes
-    # + a rotation offset in-kernel) — see _corr_rot_kernel
-    fm2p = jnp.pad(fm2, ((0, 0), (r, r), (0, 0), (0, 0)))
+    # no padded copy at all — both pads are virtual in-kernel; columns
+    # REVERSED so the strided roll's right-rotation extracts the band
+    # (see _corr_rot_kernel; the flip fuses into fm2's producer epilogue)
+    fm2p = fm2[:, :, ::-1, :]
     kernel = functools.partial(_corr_rot_kernel, H_tile=h_tile, Wdim=W,
                                r=r, scale=scale)
     return pl.pallas_call(
@@ -425,11 +465,13 @@ def pallas_rot_vmappable(r: int, interpret: bool = False):
 def rot_channel_perm(r: int) -> np.ndarray:
     """perm such that rot_out[..., perm] == quirk-ordered correlation.
 
-    perm[dx·d+dy] = dy·d+dx — also the row scatter for folding the layout
-    into a consumer's weight matrix: w128[perm[q]] = w121[q]."""
+    perm[dx·d+dy] = dy·d + (d−1−dx) — dy-major, dx reversed (the order the
+    strided-roll extraction produces naturally); also the row scatter for
+    folding the layout into a consumer's weight matrix:
+    w128[perm[q]] = w121[q]."""
     d = 2 * r + 1
     dx, dy = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
-    return (dy * d + dx).reshape(-1)
+    return (dy * d + (d - 1 - dx)).reshape(-1)
 
 
 def rot_to_quirk(out128, r: int):
