@@ -23,10 +23,46 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from rpnet_tpu.models.blocks import Norm2d, TorchConv, conv_kernel_init
+from rpnet_tpu.models.blocks import (Norm2d, TorchConv, conv_bias_init,
+                                     conv_kernel_init)
 from rpnet_tpu.ops.correlation import local_correlation
 
 NUM_FEAT = 64
+
+
+class _ConvParams(nn.Module):
+    """kernel+bias params with TorchConv's tree path (<name>/conv/{kernel,
+    bias}) and torch-default inits, applied by the CALLER — the rot path
+    runs the w_q conv on a W-flipped input with W-flipped taps so its
+    output arrives pre-flipped for the correlation kernel (models/cre.py
+    rot branch)."""
+    features: int
+    in_features: int
+    ksize: tuple = (3, 3)
+
+    @nn.compact
+    def __call__(self):
+        class _Holder(nn.Module):
+            features: int
+            in_features: int
+            ksize: tuple
+
+            @nn.compact
+            def __call__(self2):
+                kh, kw = self2.ksize
+                fan_in = self2.in_features * kh * kw
+                k = self2.param(
+                    "kernel", conv_kernel_init,
+                    (kh, kw, self2.in_features, self2.features), jnp.float32)
+                b = self2.param(
+                    "bias",
+                    lambda key, s, d=jnp.float32: conv_bias_init(
+                        key, s, d, fan_in),
+                    (self2.features,), jnp.float32)
+                return k, b
+
+        return _Holder(self.features, self.in_features, self.ksize,
+                       name="conv")()
 
 
 class _ConvKernel(nn.Module):
@@ -67,17 +103,7 @@ class ContextCorrelationEncoder(nn.Module):
     def __call__(self, fm1, fm2, train: bool = False):
         """fm1 = fg-masked features, fm2 = bg-masked features; (B, h, w, C)."""
         C = fm1.shape[-1]
-        fm1 = TorchConv(C, (3, 3), name="w_k_conv")(fm1)
-        fm1 = Norm2d(name="w_k_norm")(fm1, train)
-        fm1 = nn.relu(fm1)
-        fm2 = TorchConv(C, (3, 3), name="w_q_conv")(fm2)
-        fm2 = Norm2d(name="w_q_norm")(fm2, train)
-        fm2 = nn.relu(fm2)
-
         d = 2 * self.radius + 1
-        # q_conv_corr kernel as a bare param (same tree path as TorchConv)
-        corr_kernel = _ConvKernel(NUM_FEAT, d * d, name="q_conv_corr")()
-
         impl = os.environ.get("RPNET_CORR_IMPL")
         W = fm1.shape[-2]
         on_tpu = jax.default_backend() == "tpu"
@@ -86,17 +112,44 @@ class ContextCorrelationEncoder(nn.Module):
         use_rot = (self.use_pallas and not train
                    and (impl == "rot" or (impl is None and on_tpu))
                    and W + 2 * self.radius <= 128 and d * d <= 128)
+
+        fm1 = TorchConv(C, (3, 3), name="w_k_conv")(fm1)
+        fm1 = Norm2d(name="w_k_norm")(fm1, train)
+        fm1 = nn.relu(fm1)
+        if use_rot:
+            # the rot correlation kernel wants fm2 column-REVERSED. Flipping
+            # its OUTPUT can't fuse (the consumer is a Pallas custom call —
+            # profiled as a standalone 1.5 ms reverse + a 2.1 ms unfused relu
+            # per episode); flipping the conv INPUT fuses into the conv's
+            # input fusion (its producer is the mask mul), and running the
+            # conv with W-flipped taps makes the output ≡ flip(conv(x)):
+            # norm/relu are spatially equivariant, so fm2 arrives pre-flipped
+            # with zero standalone passes. Same params/tree as TorchConv.
+            k_q, b_q = _ConvParams(C, C, name="w_q_conv")()
+            fm2 = jax.lax.conv_general_dilated(
+                fm2[:, :, ::-1, :], k_q[:, ::-1].astype(fm2.dtype),
+                (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            fm2 = fm2 + b_q.astype(fm2.dtype)
+        else:
+            fm2 = TorchConv(C, (3, 3), name="w_q_conv")(fm2)
+        fm2 = Norm2d(name="w_q_norm")(fm2, train)
+        fm2 = nn.relu(fm2)
+
+        # q_conv_corr kernel as a bare param (same tree path as TorchConv)
+        corr_kernel = _ConvKernel(NUM_FEAT, d * d, name="q_conv_corr")()
+
         if use_rot:
             # eval fast path: MXU+rotate kernel emits channels-last dy-major
-            # (B, h, w, 128) with zero lanes d²..127; the permutation AND the
-            # pad fold into the conv weights — no transpose/slice/astype pass
-            # between kernel and conv (ops/pallas/correlation.py, ~40% faster
-            # than the VPU kernel at the eval shape). Eval-only: no backward,
-            # and training keeps f32-exact products (VPU kernel).
+            # dx-reversed (B, h, w, 128) with zero lanes d²..127; the
+            # permutation AND the pad fold into the conv weights — no
+            # transpose/slice/astype pass between kernel and conv
+            # (ops/pallas/correlation.py). Eval-only: no backward, and
+            # training keeps f32-exact products (VPU kernel).
             from rpnet_tpu.ops.pallas.correlation import (
                 pallas_rot_vmappable, rot_channel_perm)
-            corr = pallas_rot_vmappable(self.radius,
-                                        interpret=not on_tpu)(fm1, fm2)
+            corr = pallas_rot_vmappable(self.radius, interpret=not on_tpu,
+                                        fm2_reversed=True)(fm1, fm2)
             perm = rot_channel_perm(self.radius)
             k128 = jnp.zeros((1, 1, 128, NUM_FEAT), corr_kernel.dtype)
             k128 = k128.at[:, :, perm, :].set(corr_kernel)

@@ -380,10 +380,11 @@ def _corr_rot_kernel(fm2_hbm, fm1_ref, out_ref, scratch, sem, *,
 
 
 @functools.partial(jax.jit, static_argnames=("r", "h_tile", "interpret",
-                                             "out_f32"))
+                                             "out_f32", "fm2_reversed"))
 def local_correlation_pallas_rot(fm1, fm2, r: int, h_tile: int = 32,
                                  interpret: bool = False,
-                                 out_f32: bool = False):
+                                 out_f32: bool = False,
+                                 fm2_reversed: bool = False):
     """MXU+rotate local correlation → (B, H, W, 128), dy-major dx-reversed.
 
     out[..., dy·d + (d−1−dx)] = local_correlation(...)[..., dx·d+dy] (d=2r+1);
@@ -411,9 +412,11 @@ def local_correlation_pallas_rot(fm1, fm2, r: int, h_tile: int = 32,
     out_dtype = jnp.float32 if out_f32 else fm1.dtype
 
     # no padded copy at all — both pads are virtual in-kernel; columns
-    # REVERSED so the strided roll's right-rotation extracts the band
-    # (see _corr_rot_kernel; the flip fuses into fm2's producer epilogue)
-    fm2p = fm2[:, :, ::-1, :]
+    # REVERSED so the strided roll's right-rotation extracts the band (see
+    # _corr_rot_kernel). ``fm2_reversed=True`` says the caller already flipped
+    # (models/cre.py runs the w_q conv on flipped input with flipped taps so
+    # the flip fuses into the conv instead of materializing a reverse pass)
+    fm2p = fm2 if fm2_reversed else fm2[:, :, ::-1, :]
     kernel = functools.partial(_corr_rot_kernel, H_tile=h_tile, Wdim=W,
                                r=r, scale=scale)
     return pl.pallas_call(
@@ -436,7 +439,8 @@ def local_correlation_pallas_rot(fm1, fm2, r: int, h_tile: int = 32,
 
 
 @functools.lru_cache(maxsize=None)
-def pallas_rot_vmappable(r: int, interpret: bool = False):
+def pallas_rot_vmappable(r: int, interpret: bool = False,
+                         fm2_reversed: bool = False):
     """local_correlation_pallas_rot composed with vmap: the episode axis
     folds into the kernel's batch grid axis (one launch), mirroring
     pallas_correlation_trainable's rule — what --batch-episodes needs (the
@@ -445,7 +449,8 @@ def pallas_rot_vmappable(r: int, interpret: bool = False):
 
     @custom_batching.custom_vmap
     def f(fm1, fm2):
-        return local_correlation_pallas_rot(fm1, fm2, r, interpret=interpret)
+        return local_correlation_pallas_rot(fm1, fm2, r, interpret=interpret,
+                                            fm2_reversed=fm2_reversed)
 
     @f.def_vmap
     def _rule(axis_size, in_batched, fm1, fm2):  # noqa: ANN001
