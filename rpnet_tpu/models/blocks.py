@@ -82,6 +82,41 @@ class Norm2d(nn.Module):
         raise NotImplementedError(self.kind)
 
 
+class ConvParams(nn.Module):
+    """kernel+bias params with TorchConv's tree path (<name>/conv/{kernel,
+    bias}) and torch-default inits, applied by the CALLER — for paths that
+    transform the weights at apply time (split along input channels,
+    flipped taps, folded permutations) while keeping checkpoints and the
+    torch converter byte-compatible."""
+    features: int
+    in_features: int
+    ksize: Tuple[int, int] = (3, 3)
+
+    @nn.compact
+    def __call__(self):
+        class _Holder(nn.Module):
+            features: int
+            in_features: int
+            ksize: Tuple[int, int]
+
+            @nn.compact
+            def __call__(self2):
+                kh, kw = self2.ksize
+                fan_in = self2.in_features * kh * kw
+                k = self2.param(
+                    "kernel", conv_kernel_init,
+                    (kh, kw, self2.in_features, self2.features), jnp.float32)
+                b = self2.param(
+                    "bias",
+                    lambda key, s, d=jnp.float32: conv_bias_init(
+                        key, s, d, fan_in),
+                    (self2.features,), jnp.float32)
+                return k, b
+
+        return _Holder(self.features, self.in_features, self.ksize,
+                       name="conv")()
+
+
 class ConvBlock(nn.Module):
     """conv3x3+Norm+ReLU ×2 (conv_block, net/modules.py:42-58)."""
     features: int

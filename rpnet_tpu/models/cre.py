@@ -23,46 +23,11 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from rpnet_tpu.models.blocks import (Norm2d, TorchConv, conv_bias_init,
+from rpnet_tpu.models.blocks import (ConvParams, Norm2d, TorchConv,
                                      conv_kernel_init)
 from rpnet_tpu.ops.correlation import local_correlation
 
 NUM_FEAT = 64
-
-
-class _ConvParams(nn.Module):
-    """kernel+bias params with TorchConv's tree path (<name>/conv/{kernel,
-    bias}) and torch-default inits, applied by the CALLER — the rot path
-    runs the w_q conv on a W-flipped input with W-flipped taps so its
-    output arrives pre-flipped for the correlation kernel (models/cre.py
-    rot branch)."""
-    features: int
-    in_features: int
-    ksize: tuple = (3, 3)
-
-    @nn.compact
-    def __call__(self):
-        class _Holder(nn.Module):
-            features: int
-            in_features: int
-            ksize: tuple
-
-            @nn.compact
-            def __call__(self2):
-                kh, kw = self2.ksize
-                fan_in = self2.in_features * kh * kw
-                k = self2.param(
-                    "kernel", conv_kernel_init,
-                    (kh, kw, self2.in_features, self2.features), jnp.float32)
-                b = self2.param(
-                    "bias",
-                    lambda key, s, d=jnp.float32: conv_bias_init(
-                        key, s, d, fan_in),
-                    (self2.features,), jnp.float32)
-                return k, b
-
-        return _Holder(self.features, self.in_features, self.ksize,
-                       name="conv")()
 
 
 class _ConvKernel(nn.Module):
@@ -125,7 +90,7 @@ class ContextCorrelationEncoder(nn.Module):
             # conv with W-flipped taps makes the output ≡ flip(conv(x)):
             # norm/relu are spatially equivariant, so fm2 arrives pre-flipped
             # with zero standalone passes. Same params/tree as TorchConv.
-            k_q, b_q = _ConvParams(C, C, name="w_q_conv")()
+            k_q, b_q = ConvParams(C, C, name="w_q_conv")()
             fm2 = jax.lax.conv_general_dilated(
                 fm2[:, :, ::-1, :], k_q[:, ::-1].astype(fm2.dtype),
                 (1, 1), "SAME",

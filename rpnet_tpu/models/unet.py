@@ -50,6 +50,10 @@ class UNet(nn.Module):
             x5 = jnp.concatenate([x5, avg_pool2d(mask, 16)], axis=-1)
         x5 = ConvBlock(_FEATS[4], self.norm, name="enc5")(x5, train)
 
+        # NOTE (measured, v5e): replacing these concats with split-kernel
+        # convs (conv(concat(a,b)) = conv_a(a)+conv_b(b)) moved the cost into
+        # the split convs — eval neutral, train step 5% SLOWER. The concat
+        # form stays.
         d5 = UpConv(_FEATS[3], self.norm, name="up5")(x5, train)
         d5 = jnp.concatenate([x4, d5], axis=-1)
         d5 = ConvBlock(_FEATS[3], self.norm, name="dec5")(d5, train)
