@@ -53,8 +53,15 @@ def main():
     ap.add_argument("--train-iters", type=int, default=4,
                     help="n_iter_refinement at TRAIN time (eval always "
                          "extends to 10, test_rpnet.py:51)")
+    ap.add_argument("--multiclass", action="store_true",
+                    help="use the 11-class Abd-110 proxy (VERDICT r3 item 1):"
+                         " train on 6 organ classes, eval on 2 held-out ones"
+                         " (synthetic.PROXY_{TRAIN,EVAL}_CLASSES)")
+    ap.add_argument("--train-classes", nargs="+", default=None)
+    ap.add_argument("--eval-classes", nargs="+", default=None)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--workdir", default="/tmp/rpnet_roundtrip")
+    ap.add_argument("--out", default=OUT, help="result JSON path")
     args = ap.parse_args()
 
     import jax
@@ -64,14 +71,27 @@ def main():
 
     from rpnet_tpu.cli import test_rpnet as eval_cli
     from rpnet_tpu.cli import train as train_cli
+    from rpnet_tpu.core import synthetic
     from rpnet_tpu.core.synthetic import generate_dataset
+
+    if args.multiclass:
+        train_classes = list(args.train_classes or synthetic.PROXY_TRAIN_CLASSES)
+        eval_classes = list(args.eval_classes or synthetic.PROXY_EVAL_CLASSES)
+        gen_classes = synthetic.ABD110_CLASSES
+        n_eval_vols = 4
+    else:
+        train_classes = list(args.train_classes or ["Spleen"])
+        eval_classes = list(args.eval_classes or ["Liver"])
+        gen_classes = synthetic.DEFAULT_CLASSES
+        n_eval_vols = 2
 
     S = args.size
     work = args.workdir
     os.makedirs(work, exist_ok=True)
     paths = generate_dataset(os.path.join(work, "data"),
-                             n_train=args.n_train, n_test=2,
-                             shape=(24, S + 16, S + 16), seed=0)
+                             n_train=args.n_train, n_test=n_eval_vols,
+                             shape=(24, S + 16, S + 16), seed=0,
+                             classes=gen_classes)
 
     cfg = dict(
         data_dir=paths["data_dir"], class_csv_dir=paths["class_dir"],
@@ -79,7 +99,7 @@ def main():
         num_slice=32, num_x=S + 16, num_y=S + 16,
         crop_size=[S, S], pad_value=-1024, HU_range=[-1024, 3072],
         n_shot=1, n_way=1, k=args.k,
-        train_classes=["Spleen"], eval_classes=["Liver"],
+        train_classes=train_classes, eval_classes=eval_classes,
         backbone="UNet", n_iter_refinement=args.train_iters,
         n_test_iter_refinement=10,
         deep_supervision=bool(args.deep_supervision),
@@ -91,6 +111,9 @@ def main():
         batch_size=2, init_lr=3e-4, weight_decay=1e-4, scheduler_step=30,
         align_loss_scaler=0.3, loss="dice_ce", epochs=args.epochs,
         epoch_save=args.epoch_save or args.epochs, n_runs=1, seed=0,
+        # the multi-class study touches train_classes x n_train (pid, roi)
+        # volumes every epoch — size the sampler LRU to hold them all
+        volume_cache=96 if args.multiclass else 8,
     )
 
     def write_yaml(extra, name):
@@ -104,7 +127,7 @@ def main():
     y0 = write_yaml({"out_dir": os.path.join(work, "eval_untrained")},
                     "eval0.yml")
     r0 = eval_cli.main(["--yaml", y0])
-    untrained = r0["classes"]["Liver"]
+    untrained = r0["classes"][eval_classes[0]]
 
     # ---- 2. train ----
     ytr = write_yaml({"out_dir": os.path.join(work, "train")}, "train.yml")
@@ -120,7 +143,11 @@ def main():
     y1 = write_yaml({"out_dir": os.path.join(work, "eval_trained"),
                      "ckpt": ckpt}, "eval1.yml")
     r1 = eval_cli.main(["--yaml", y1])
-    trained = r1["classes"]["Liver"]
+    trained = r1["classes"][eval_classes[0]]
+
+    def per_iter(cls_block):
+        its = sorted(cls_block["refinement"], key=int)
+        return {str(i): cls_block["refinement"][i][0] for i in its}
 
     last_it = max(int(k) for k in trained["refinement"])
     result = {
@@ -136,12 +163,23 @@ def main():
         "train_wall_sec": train_wall,
         "ckpt": ckpt,
         "backend": jax.default_backend(),
+        "train_classes": train_classes,
+        "eval_classes": eval_classes,
+        "per_class": {
+            c: {
+                "affine": r1["classes"][c]["affine"][0],
+                "fewshot": r1["classes"][c]["fewshot"][0],
+                "refinement": per_iter(r1["classes"][c]),
+                "untrained_fewshot": r0["classes"][c]["fewshot"][0],
+            }
+            for c in eval_classes if c in r1["classes"]
+        },
     }
     result["beats_untrained"] = bool(result["value"]
                                      > result["untrained_fewshot_dice"])
     result["beats_prior"] = bool(result["value"] > result["prior_dice"])
     print(json.dumps(result))
-    with open(OUT, "w") as f:
+    with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
 
 

@@ -66,11 +66,19 @@ def masked_average_pool(fts, mask):
 
     fts: (h, w, C) feature map; mask: (H, W) full-resolution mask.
     sum(upsample(fts) * mask) == sum(fts * upsampleᵀ(mask)) exactly.
+
+    The spatial sums ALWAYS accumulate in f32, even when the network runs
+    bf16: a bf16 (h·w)-element reduction is sensitive to the reduction order
+    GSPMD picks per sharding, which made 8-way-sharded eval flip knife-edge
+    thresholded masks vs single-device eval (round-3 finding). f32 prototype
+    accumulation is value-stable across shardings and costs nothing — the
+    prototypes are (Wa, B, C).
     """
     h, w, _ = fts.shape
     m_down = resize_transpose(mask[None, :, :, None], (h, w))[0, :, :, 0]
-    num = jnp.sum(fts * m_down[..., None], axis=(0, 1))
-    den = jnp.sum(mask) + 1e-5
+    num = jnp.sum(fts.astype(jnp.float32) * m_down.astype(jnp.float32)[..., None],
+                  axis=(0, 1))
+    den = jnp.sum(mask.astype(jnp.float32)) + 1e-5
     return num / den
 
 
@@ -144,11 +152,13 @@ class RPNet(nn.Module):
         Returns fg (Wa, B, C), bg (B, C).
         """
         pool = jax.vmap(jax.vmap(jax.vmap(masked_average_pool)))
-        fg = pool(supp_fts, fore_mask)            # (Wa, Sh, B, C)
+        fg = pool(supp_fts, fore_mask)            # (Wa, Sh, B, C) — f32
         bg = pool(supp_fts, back_mask)
         fg_proto = jnp.mean(fg, axis=1)           # avg over shots → (Wa, B, C)
         bg_proto = jnp.mean(jnp.mean(bg, axis=1), axis=0)   # (B, C)
-        return fg_proto, bg_proto
+        # back to the network compute dtype only after all reductions
+        return (fg_proto.astype(supp_fts.dtype),
+                bg_proto.astype(supp_fts.dtype))
 
     def _predict(self, qry_fts, fg_proto, bg_proto, img_size):
         """Cosine distances vs prototypes → upsampled logits (B, H, W, 1+Wa)."""

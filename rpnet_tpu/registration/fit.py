@@ -146,7 +146,13 @@ def _fit_theta_slice(src01, dst01, *, affine_iters, lr, fit_scale, sampler):
 
 
 @partial(jax.jit, static_argnames=("affine_iters", "demons_iters",
-                                   "diffeo_scaling", "fit_scale", "sampler"))
+                                   "diffeo_scaling", "fit_scale", "sampler",
+                                   "sigma"))
+# ``sigma`` must be STATIC: the Gaussian regularizer's kernel SIZE is
+# 2·ceil(2σ)+1 (net/registration.py:16-31) — a shape, not a value. As a
+# traced arg the demons path crashed whenever a caller passed sigma
+# explicitly (an unpassed jit default stays a Python float, which is why
+# only the config-driven path hit it — round-4 dryrun finding).
 def register_episode(support_imgs, query_imgs, support_labels, *,
                      affine_iters: int = 50, demons_iters: int = 0,
                      lr: float = 0.01, sigma: float = 2.0,

@@ -306,17 +306,24 @@ def test_golden_cre_output(ref_net):
     np.testing.assert_allclose(cre_j, cre_t, atol=5e-4, err_msg="CRE drift")
 
 
-@pytest.mark.parametrize("backbone", ["UNet", "resnet"])
+@pytest.mark.parametrize("backbone", ["UNet", "resnet", "vgg"])
 def test_golden_full_forward(ref_net, backbone):
     """END-TO-END: per-iteration refinement logits, final output, and Dice
     must match the reference forward (net/rp_net.py:226-350) bit-closely.
 
-    Runs on UNet and resnet — the two backbones whose reference full-model
-    path works (resnet's encoder returns the {'d4'} dict, rp_net.py:40-42;
-    vgg's returns a raw tensor and crashes on ['d4'], so it gets
-    encoder-level parity only)."""
+    All THREE backbones. The reference's vgg full-model path crashes AS
+    SHIPPED on its own indexing defect — vgg Encoder.forward returns a raw
+    tensor (net/vgg.py:36-37) while RP_Net.forward indexes it with ['d4']
+    (net/rp_net.py:249,258). For the vgg row ONLY that indexing is patched
+    in-test (the instance forward is wrapped to return {'d4': tensor}; no
+    weights, shapes, or math are touched), which is the minimal reading of
+    the reference's intent — every other backbone wraps its output in a
+    dict keyed 'd4' (net/unet.py:465, net/rp_net.py:40-42)."""
     B, H, W, n_iter, radius = 2, 64, 64, 3, 2
     ref, model, merged, bcfg = _build_pair(ref_net, backbone, n_iter, radius, B, H, W)
+    if backbone == "vgg":
+        enc_fwd = ref.encoder.forward
+        ref.encoder.forward = lambda x, mask=None: {"d4": enc_fwd(x, mask)}
     supp_img, fore, qry_img, qry_lab, appr = _episode(B, H, W)
     back = 1.0 - fore
 

@@ -160,12 +160,11 @@ def test_serve_cli_matches_live_eval(tmp_path):
         mask_refinement_correlation_radius=2, soft_mask=False,
         do_deformable=False, reg_affine_iters=4, reg_fit_scale=2,
         slice_bucket=16, max_slices=16, do_intaug=False, do_elastic=False,
-        # single-device live eval: the artifact runs on one device, and the
-        # 8-way-sharded program's cross-shard bf16 reductions (support
-        # prototypes) can flip knife-edge fresh-init masks (observed: one of
-        # three episodes off by 2e-3 Dice). {data: 1} pins both sides to the
-        # same reduction order — they then agree to float tolerance.
-        mesh_shape={"data": 1, "model": 1},
+        # FULL 8-way sharded live eval vs the single-device artifact: since
+        # masked_average_pool accumulates prototypes in f32 (round-4 fix),
+        # sharded and single-device programs agree to float tolerance — the
+        # round-3 {data: 1} pin is gone.
+        mesh_shape={"data": 8, "model": 1},
         n_runs=1, seed=0)
 
     # a checkpoint (fresh init is fine — weights are protocol-irrelevant)
@@ -199,3 +198,56 @@ def test_serve_cli_matches_live_eval(tmp_path):
             assert sv["refinement"][it] == pytest.approx(pair, rel=1e-4,
                                                          abs=1e-5)
     assert os.path.exists(os.path.join(str(tmp_path / "srv"), "log_serve"))
+
+
+def test_sharded_live_eval_matches_single_device(tmp_path):
+    """8-way-sharded live eval ≡ single-device live eval per-class Dice under
+    the bf16 eval default (VERDICT r3 item 3): f32 prototype accumulation
+    makes the program value-stable across shardings."""
+    import yaml
+
+    from rpnet_tpu.cli import test_rpnet as live_cli
+    from rpnet_tpu.core.synthetic import generate_dataset
+    from rpnet_tpu.train.checkpoint import save_checkpoint
+
+    paths = generate_dataset(str(tmp_path / "data"), n_train=2, n_test=3,
+                             shape=(20, 48, 48), seed=0)
+    cfg = dict(
+        data_dir=paths["data_dir"], class_csv_dir=paths["class_dir"],
+        eval_set_name=paths["test_csv"], train_set_name=paths["train_csv"],
+        num_slice=32, num_x=48, num_y=48, crop_size=[H, W],
+        pad_value=-1024, HU_range=[-1024, 3072], n_shot=1, n_way=1, k=4,
+        eval_classes=["Liver"], train_classes=["Spleen"], backbone="UNet",
+        n_iter_refinement=2, n_test_iter_refinement=2,
+        mask_refinement_correlation_radius=2, soft_mask=False,
+        do_deformable=False, reg_affine_iters=4, reg_fit_scale=2,
+        slice_bucket=16, max_slices=16, do_intaug=False, do_elastic=False,
+        n_runs=1, seed=0)
+
+    model = model_factory["RP_Net"](Config(cfg), align=True, num_iter=2)
+    dummy = (jnp.zeros((1, 1, 1, H, W, 1)), jnp.zeros((1, 1, 1, H, W)),
+             jnp.ones((1, 1, 1, H, W)), jnp.zeros((1, H, W, 1)),
+             jnp.zeros((1, H, W)))
+    variables = model.init(jax.random.PRNGKey(11), *dummy, train=False)
+    ck = str(tmp_path / "ck")
+    save_checkpoint(ck, step=3, variables=variables)
+    cfg["ckpt"] = ck
+
+    results = {}
+    for tag, data in (("sharded", 8), ("single", 1)):
+        y = tmp_path / f"{tag}.yml"
+        y.write_text(yaml.safe_dump(dict(
+            cfg, mesh_shape={"data": data, "model": 1},
+            out_dir=str(tmp_path / tag))))
+        results[tag] = live_cli.main(["--yaml", str(y)])
+
+    sh, si = results["sharded"], results["single"]
+    assert sh["episodes"] == si["episodes"]
+    assert sh["failed_episodes"] == 0 == si["failed_episodes"]
+    for klass, vals in si["classes"].items():
+        sv = sh["classes"][klass]
+        assert sv["affine"] == pytest.approx(vals["affine"], rel=1e-4, abs=1e-5)
+        assert sv["fewshot"] == pytest.approx(vals["fewshot"], rel=1e-4, abs=1e-5)
+        for it, pair in vals["refinement"].items():
+            assert sv["refinement"][it] == pytest.approx(pair, rel=1e-4,
+                                                         abs=1e-5)
