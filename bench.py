@@ -39,6 +39,13 @@ def main():
     ap.add_argument("--crop", type=int, default=256)
     ap.add_argument("--refine-iters", type=int, default=10)
     ap.add_argument("--affine-iters", type=int, default=50)
+    ap.add_argument("--do-deformable", action="store_true",
+                    help="enable the demons registration stage after the "
+                         "affine fit (few_shot_reader.py:147-162 semantics: "
+                         "50 demons NCC iters, Gaussian sigma=2, diffeo "
+                         "scaling-and-squaring) — example.yml:101 defaults "
+                         "it off, so the headline stays affine-only")
+    ap.add_argument("--demons-iters", type=int, default=50)
     ap.add_argument("--radius", type=int, default=5)
     ap.add_argument("--sampler", default="matmul", choices=["matmul", "gather"],
                     help="registration resampler; gather + --fit-scale 1 is "
@@ -100,8 +107,10 @@ def main():
         variables = jax.tree_util.tree_map(
             lambda x: x.astype(compute_dtype)
             if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, variables)
+    demons_iters = args.demons_iters if args.do_deformable else 0
     raw_fn = episode_metrics_fn(model, affine_iters=args.affine_iters,
-                                demons_iters=0, fit_scale=args.fit_scale,
+                                demons_iters=demons_iters,
+                                fit_scale=args.fit_scale,
                                 sampler=args.sampler,
                                 compute_dtype=compute_dtype)
     EB = max(1, args.batch_episodes)
@@ -215,7 +224,9 @@ def main():
                       "mfu_vs_bf16_peak": round(mfu, 4) if mfu else None,
                       "mode": f"fit_scale={args.fit_scale},{args.sampler}"
                               f",{args.dtype}"
-                              + (f",batch{EB}" if EB > 1 else "")}))
+                              + (f",batch{EB}" if EB > 1 else "")
+                              + (f",demons{demons_iters}"
+                                 if demons_iters else "")}))
 
 
 if __name__ == "__main__":

@@ -21,6 +21,7 @@ python unroll explodes Mosaic compile time).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -379,6 +380,114 @@ def _corr_rot_kernel(fm2_hbm, fm1_ref, out_ref, scratch, sem, *,
     out_ref[0] = acc
 
 
+def _corr_rot2_kernel(fm2_hbm, fm1_ref, out_ref, scratch, sem, *,
+                      H_tile, Wdim, r, scale):
+    """Two-slices-per-128-lanes variant of :func:`_corr_rot_kernel`.
+
+    At W=64 the rot kernel streams 64-row matmuls against 128-lane weights —
+    HALF the systolic array's row dimension idle and 54 of 128 lanes zero
+    pad (the round-3 profile's "128 lanes computed, 11 used" structural
+    waste). Here slice PAIRS pack along the lane/row axis: fm1/fm2 arrive as
+    (B/2, H, 2W=128, C) with slice A in columns [0, W) and slice B in
+    [W, 2W), each column-reversed WITHIN its half. Every MXU step is then a
+    full 128-row × C × 128-lane contraction — twice the stream per weight
+    load, no zero lanes.
+
+    The strided-roll extraction survives packing because 2W ≡ 0 (mod 128):
+    slice B's query row (W+w) and its source lane offset (+W) cancel in the
+    rotate, parking displacement dx at the SAME constant lane (W−1−dx) as
+    slice A. What packing breaks is the zero-pad trick for out-of-image
+    displacements — a right-edge query of slice A now reads slice B's
+    columns instead of zeros — so extraction adds a per-(row, lane) validity
+    mask (0 ≤ w+dx < W), which the keep-select was already paying for.
+    """
+    d = 2 * r + 1
+    b = pl.program_id(0)
+    ht = pl.program_id(1)
+    n_ht = pl.num_programs(1)
+    H = n_ht * H_tile
+    row0 = ht * H_tile
+
+    if n_ht == 1:
+        scratch[:r] = jnp.zeros_like(scratch[:r])
+        scratch[r + H_tile:] = jnp.zeros_like(scratch[r + H_tile:])
+        dma = pltpu.make_async_copy(
+            fm2_hbm.at[b, :, :, :], scratch.at[pl.ds(r, H_tile), :, :], sem)
+        dma.start()
+        fm1 = fm1_ref[0]
+        dma.wait()
+    else:
+        @pl.when(ht == 0)
+        def _top():
+            scratch[:r] = jnp.zeros_like(scratch[:r])
+            dma = pltpu.make_async_copy(
+                fm2_hbm.at[b, pl.ds(0, H_tile + r), :, :],
+                scratch.at[pl.ds(r, H_tile + r), :, :], sem)
+            dma.start()
+            dma.wait()
+
+        @pl.when(ht == n_ht - 1)
+        def _bottom():
+            scratch[H_tile + r:] = jnp.zeros_like(scratch[H_tile + r:])
+            dma = pltpu.make_async_copy(
+                fm2_hbm.at[b, pl.ds(H - H_tile - r, H_tile + r), :, :],
+                scratch.at[pl.ds(0, H_tile + r), :, :], sem)
+            dma.start()
+            dma.wait()
+
+        @pl.when((ht > 0) & (ht < n_ht - 1))
+        def _interior():
+            dma = pltpu.make_async_copy(
+                fm2_hbm.at[b, pl.ds(row0 - r, H_tile + 2 * r), :, :],
+                scratch.at[:, :, :], sem)
+            dma.start()
+            dma.wait()
+
+        fm1 = fm1_ref[0]                    # (Ht, 2W, C)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (H_tile, 2 * Wdim, 128), 2)
+    # query column within the slice: packed row index mod W (W is a power of
+    # two at the shapes this kernel accepts)
+    w_col = jax.lax.broadcasted_iota(jnp.int32, (H_tile, 2 * Wdim, 128), 1) \
+        & (Wdim - 1)
+    acc_dtype = out_ref.dtype
+
+    def step(dv, acc):
+        sub = scratch[pl.ds(dv, H_tile)]    # (Ht, 128, C)
+        x = jax.lax.dot_general(fm1, sub, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        x = x * scale
+        x = pltpu.roll(x, shift=0, axis=2, stride=1, stride_axis=1)
+        x = pltpu.roll(x, shift=(dv * d + d - Wdim - r) % 128, axis=2)
+        keep = (lane >= dv * d) & (lane < dv * d + d)
+        # ch = dv·d + (d−1−(dx+r)) ⇒ dx = d−1−r − (ch − dv·d); out-of-image
+        # source columns must read as ZERO correlation (the unpacked kernel
+        # gets this from zeroed pad lanes; packed, they alias the partner
+        # slice's data and are masked here instead)
+        dx = (d - 1 - r) - (lane - dv * d)
+        src = w_col + dx
+        keep &= (src >= 0) & (src < Wdim)
+        return jnp.where(keep, x.astype(acc_dtype), acc)
+
+    acc = jax.lax.fori_loop(0, d, step,
+                            jnp.zeros((H_tile, 2 * Wdim, 128), acc_dtype))
+    out_ref[0] = acc
+
+
+def _pack_pairs(a):
+    """(B, H, W, C) → (B/2, H, 2W, C): consecutive slice pairs side by side."""
+    B, H, W, C = a.shape
+    return a.reshape(B // 2, 2, H, W, C).transpose(0, 2, 1, 3, 4) \
+        .reshape(B // 2, H, 2 * W, C)
+
+
+def _unpack_pairs(a):
+    """Inverse of :func:`_pack_pairs`."""
+    Bh, H, W2, C = a.shape
+    return a.reshape(Bh, H, 2, W2 // 2, C).transpose(0, 2, 1, 3, 4) \
+        .reshape(Bh * 2, H, W2 // 2, C)
+
+
 @functools.partial(jax.jit, static_argnames=("r", "h_tile", "interpret",
                                              "out_f32", "fm2_reversed"))
 def local_correlation_pallas_rot(fm1, fm2, r: int, h_tile: int = 32,
@@ -417,6 +526,39 @@ def local_correlation_pallas_rot(fm1, fm2, r: int, h_tile: int = 32,
     # (models/cre.py runs the w_q conv on flipped input with flipped taps so
     # the flip fuses into the conv instead of materializing a reverse pass)
     fm2p = fm2 if fm2_reversed else fm2[:, :, ::-1, :]
+
+    # 2-slices-per-128-lanes packing (round-4 A/B, docs/perf_trace_r4.md):
+    # when a slice pair exactly fills the lane width, pack pairs side by side
+    # so every MXU step streams 128 rows against 128 live lanes
+    # (_corr_rot2_kernel). Verdict: NEGATIVE end-to-end — kernel-only time is
+    # a wash (the kernel is extraction/DMA-bound, not MXU-stream-bound) and
+    # the XLA-side pair transposes cost ~0.8 ms/call, so bench drops 11.1 →
+    # 10.9 eps/s. Kept opt-in (RPNET_ROT_PACK=1) as the measured record.
+    use_pack = (B % 2 == 0 and 2 * W == 128
+                and os.environ.get("RPNET_ROT_PACK", "0") == "1")
+    if use_pack:
+        kernel2 = functools.partial(_corr_rot2_kernel, H_tile=h_tile, Wdim=W,
+                                    r=r, scale=scale)
+        out = pl.pallas_call(
+            kernel2,
+            out_shape=jax.ShapeDtypeStruct((B // 2, H, 2 * W, 128), out_dtype),
+            grid=(B // 2, H // h_tile),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),    # packed fm2 off-chip
+                pl.BlockSpec((1, h_tile, 2 * W, C), lambda b, h: (b, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, h_tile, 2 * W, 128),
+                                   lambda b, h: (b, h, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((h_tile + 2 * r, 2 * W, C), fm2.dtype),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(_pack_pairs(fm2p), _pack_pairs(fm1))
+        return _unpack_pairs(out)
+
     kernel = functools.partial(_corr_rot_kernel, H_tile=h_tile, Wdim=W,
                                r=r, scale=scale)
     return pl.pallas_call(

@@ -200,6 +200,31 @@ def test_pallas_rot_correlation_matches_xla(rng, r, h_tile):
     np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
+def test_pallas_rot_packed_pairs_matches_xla(rng, monkeypatch):
+    """Opt-in 2-slices-per-128-lanes packed kernel (RPNET_ROT_PACK=1) ≡ XLA:
+    the packed extraction adds a per-(row, lane) validity mask because
+    out-of-image displacements alias the partner slice's columns instead of
+    zero pad lanes (ops/pallas/correlation._corr_rot2_kernel)."""
+    from rpnet_tpu.ops.pallas.correlation import (local_correlation_pallas_rot,
+                                                  rot_to_quirk)
+
+    monkeypatch.setenv("RPNET_ROT_PACK", "1")
+    local_correlation_pallas_rot._clear_cache()
+    r = 5
+    B, H, W, C = 4, 16, 64, 32   # 2W == 128 → packed dispatch
+    f1 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    ref = np.asarray(local_correlation(f1, f2, r))
+    out128 = local_correlation_pallas_rot(f1, f2, r, h_tile=16,
+                                          interpret=True, out_f32=True)
+    local_correlation_pallas_rot._clear_cache()
+    assert out128.shape == (B, H, W, 128)
+    d = 2 * r + 1
+    np.testing.assert_array_equal(np.asarray(out128[..., d * d:]), 0.0)
+    np.testing.assert_allclose(np.asarray(rot_to_quirk(out128, r)), ref,
+                               atol=1e-5)
+
+
 def test_pallas_rot_vmap_folds_episode_axis(rng):
     """vmap of the rot kernel folds the episode axis into the batch grid
     (custom_vmap rule) and matches per-episode application."""
