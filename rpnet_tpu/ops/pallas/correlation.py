@@ -829,8 +829,20 @@ def pallas_correlation_trainable(r: int, interpret: bool = False,
     """
     from jax import custom_batching
 
+    def _rot_quirk(fm1, fm2, r, interpret=False):
+        # MXU+rotate forward (the eval kernel) for TRAINING (VERDICT r3
+        # item 7): the training contract is quirk-order (B, H, W, d²), so the
+        # rot layout is permuted back here (at eval the permutation folds
+        # into the consumer conv's weights instead — models/cre.py). The
+        # backward is unchanged (it receives quirk-order cotangents).
+        # Precision note: f32 inputs run the MXU at default (bf16-product)
+        # precision — same class as the default banded-MXU backward.
+        out = local_correlation_pallas_rot(fm1, fm2, r, interpret=interpret)
+        return rot_to_quirk(out, r)
+
     fwd_impl = {"csub": local_correlation_pallas_csub,
                 "pallas_mxu": local_correlation_pallas_mxu,
+                "rot": _rot_quirk,
                 }.get(forward, local_correlation_pallas)
 
     @custom_batching.custom_vmap
@@ -919,10 +931,11 @@ def local_correlation_auto(fm1, fm2, r: int):
     on_tpu = jax.default_backend() == "tpu"
     if impl is None:
         impl = "pallas" if on_tpu else "xla"
-    if impl in ("pallas", "csub", "pallas_mxu") and on_tpu:
+    if impl in ("pallas", "csub", "pallas_mxu", "rot") and on_tpu:
         # differentiable AND vmappable (training vmaps episodes); "csub" uses
         # the C-on-sublanes forward, "pallas_mxu" the MXU-in-kernel banded
-        # forward, both with the same backward
+        # forward, "rot" the MXU+rotate eval kernel (quirk-permuted back),
+        # all with the same backward
         return pallas_correlation_trainable(r, forward=impl)(fm1, fm2)
     if impl == "mxu":
         from rpnet_tpu.ops.correlation import local_correlation_mxu
