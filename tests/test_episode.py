@@ -529,3 +529,57 @@ def test_prefetch_survives_failing_episode(synth):
         EpisodeSampler.sample = real
     assert len(out) == n
     assert sum(isinstance(o, EpisodeFailure) for o in out) == 1
+
+
+def test_multiclass_proxy_dataset(tmp_path):
+    """The 11-class Abd-110 proxy (core/synthetic.make_patient_multiclass):
+    every class present per patient with its own z-extent and HU signature;
+    hollow organs never overlap solids (mask-image consistency); the
+    generated dataset's per-class CSVs match the actual mask z-ranges and
+    feed the episodic sampler for a held-out class."""
+    from rpnet_tpu.core.synthetic import (ABD110_CLASSES, PROXY_EVAL_CLASSES,
+                                          PROXY_TRAIN_CLASSES,
+                                          make_patient_multiclass)
+
+    assert set(PROXY_TRAIN_CLASSES).isdisjoint(PROXY_EVAL_CLASSES)
+    assert len(PROXY_TRAIN_CLASSES) >= 5 and len(PROXY_EVAL_CLASSES) >= 2
+    assert set(PROXY_TRAIN_CLASSES) | set(PROXY_EVAL_CLASSES) <= set(ABD110_CLASSES)
+
+    vol, masks = make_patient_multiclass((20, 96, 96), seed=3)
+    assert set(masks) == set(ABD110_CLASSES)
+    solids = np.zeros(vol.shape, bool)
+    for roi in ("Liver", "Spleen", "Kidney L", "Kidney R", "Stomach",
+                "Pancreas", "Gallbladder"):
+        solids |= masks[roi].astype(bool)
+    hu = {}
+    for roi, m in masks.items():
+        mb = m.astype(bool)
+        assert mb.any(), f"{roi} empty"
+        hu[roi] = float(vol[mb].mean())
+        if roi in ("Duodenum", "Large Bowel", "Small Bowel"):
+            assert not (mb & solids).any(), f"{roi} overlaps a solid organ"
+    # distinct HU signatures: gas-mixed bowel is far below solid organs
+    assert hu["Large Bowel"] < -20 < hu["Liver"]
+    # determinism
+    vol2, masks2 = make_patient_multiclass((20, 96, 96), seed=3)
+    np.testing.assert_array_equal(vol, vol2)
+    np.testing.assert_array_equal(masks["Duodenum"], masks2["Duodenum"])
+
+    from rpnet_tpu.core.synthetic import generate_dataset
+    paths = generate_dataset(str(tmp_path / "mc"), n_train=2, n_test=2,
+                             shape=(20, 96, 96), classes=ABD110_CLASSES, seed=1)
+    import csv as _csv
+    with open(os.path.join(paths["class_dir"], "Duodenum.csv")) as f:
+        rows = list(_csv.DictReader(f))
+    assert len(rows) == 4 and all(int(r["z_start"]) <= int(r["z_end"])
+                                  for r in rows)
+    cfg = {"data_dir": paths["data_dir"], "class_csv_dir": paths["class_dir"],
+           "num_slice": 32, "num_x": 96, "num_y": 96, "crop_size": [64, 64],
+           "pad_value": -1024, "HU_range": [-1024, 3072], "n_shot": 1,
+           "n_way": 1, "k": 4, "eval_classes": list(PROXY_EVAL_CLASSES),
+           "train_classes": list(PROXY_TRAIN_CLASSES), "seed": 0}
+    sampler = EpisodeSampler(paths["data_dir"], paths["test_csv"],
+                             Config(cfg), mode="eval")
+    assert len(sampler) == 2 * len(PROXY_EVAL_CLASSES)
+    ep = sampler.sample(0)
+    assert ep.query_labels.max() == 1.0
