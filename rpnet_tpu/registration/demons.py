@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import optax
 
 from rpnet_tpu.core.metrics import ncc
-from rpnet_tpu.ops.sampling import compute_grid, grid_sample
+from rpnet_tpu.ops.sampling import compute_grid, grid_sample, grid_sample_matmul
 from rpnet_tpu.registration.gaussian import gaussian_blur_flow, l2_regulariser_2d
 
 
@@ -32,7 +32,18 @@ def zero_flow(img_size, dtype=jnp.float32):
     return jnp.zeros((2, H, W), dtype=dtype)
 
 
-def diffeomorphic_2d(displacement, grid_chw, scaling: int = 10):
+def _sample(x, coords, sampler: str):
+    """grid_sample dispatch: "gather" is the reference-exact path; "matmul"
+    is the MXU one-hot formulation (ops/sampling.py:190-227) — the demons
+    objective's resamples are the hot loop on TPU, and the gather path runs
+    at ~13M points/s in-program vs ~25× that for the matmul form."""
+    if sampler == "matmul":
+        return grid_sample_matmul(x, coords, align_corners=False)
+    return grid_sample(x, coords, align_corners=False)
+
+
+def diffeomorphic_2d(displacement, grid_chw, scaling: int = 10,
+                     sampler: str = "gather"):
     """Scaling-and-squaring integration (net/registration.py:202-211).
 
     displacement: (2, H, W); grid_chw: (2, H, W) normalized identity grid.
@@ -44,7 +55,7 @@ def diffeomorphic_2d(displacement, grid_chw, scaling: int = 10):
     def body(d, _):
         d_img = jnp.transpose(d, (1, 2, 0))[None]        # (1, H, W, 2) as image
         coords = (jnp.transpose(d, (1, 2, 0)) + grid_hwc)[None]  # sample coords
-        sampled = grid_sample(d_img, coords, align_corners=False)[0]
+        sampled = _sample(d_img, coords, sampler)[0]
         d = d + jnp.transpose(sampled, (2, 0, 1))
         return d, None
 
@@ -52,20 +63,22 @@ def diffeomorphic_2d(displacement, grid_chw, scaling: int = 10):
     return d
 
 
-def demons_warp(x, flow, grid_chw, diffeomorphic: bool = True, scaling: int = 10):
+def demons_warp(x, flow, grid_chw, diffeomorphic: bool = True, scaling: int = 10,
+                sampler: str = "gather"):
     """Warp (H, W, C) image by flow (2, H, W) on normalized identity grid."""
     if diffeomorphic:
-        flow = diffeomorphic_2d(flow, grid_chw, scaling)
+        flow = diffeomorphic_2d(flow, grid_chw, scaling, sampler)
     new_locs = grid_chw + flow                      # (2, H, W), channels (x, y)
     coords = jnp.transpose(new_locs, (1, 2, 0))[None]  # (1, H, W, 2)
-    return grid_sample(x[None], coords, align_corners=False)[0]
+    return _sample(x[None], coords, sampler)[0]
 
 
 def fit_demons(moving, fixed, iters: int, lr: float = 0.01,
                sigma: Sequence[float] = (2.0, 2.0),
                diffeomorphic: bool = True, scaling: int = 10,
                loss_fn: Callable = ncc,
-               regularise_displacement: bool = False):
+               regularise_displacement: bool = False,
+               sampler: str = "gather"):
     """Fit the dense flow. moving/fixed: (H, W, C). Returns (flow, losses).
 
     Step order matches DemonsRegistration.train_registraion
@@ -79,7 +92,8 @@ def fit_demons(moving, fixed, iters: int, lr: float = 0.01,
     opt_state = opt.init(flow0)
 
     def objective(flow):
-        warped = demons_warp(moving, flow, grid_chw, diffeomorphic, scaling)
+        warped = demons_warp(moving, flow, grid_chw, diffeomorphic, scaling,
+                             sampler)
         loss = loss_fn(warped, fixed)
         if regularise_displacement:
             loss = loss + l2_regulariser_2d(jnp.transpose(flow, (1, 2, 0)))

@@ -32,7 +32,8 @@ import jax.numpy as jnp
 
 from rpnet_tpu.ops.sampling import compute_grid
 from rpnet_tpu.registration.affine import affine_warp, fit_affine
-from rpnet_tpu.registration.demons import demons_warp, fit_demons
+from rpnet_tpu.registration.demons import (demons_warp, diffeomorphic_2d,
+                                           fit_demons)
 
 
 class RegistrationResult(NamedTuple):
@@ -207,13 +208,43 @@ def register_episode(support_imgs, query_imgs, support_labels, *,
         ys = identity_grid_coords_1d(H)
         warped_both2 = separable_grid_sample(warped_both, xs, ys)
     else:
+        # TPU-native fast demons (mirrors the affine fit_scale design): the
+        # 50-iteration NCC fit AND the scaling-and-squaring integration run
+        # at 1/fit_scale resolution with the MXU one-hot sampler (flow lives
+        # in normalized coords → resolution-invariant), then the integrated
+        # displacement upsamples bilinearly and ONE full-res chunked-matmul
+        # warp resamples label+image. The gather path at full res is the
+        # reference trajectory (register_slice; reg_sampler: gather) — it
+        # runs the diffeo integration inside every objective evaluation at
+        # full res, ~1000 full-HBM gathers per episode, measured 41 s/episode
+        # on v5e (docs/perf_trace_r4.md). Gaussian sigma scales with the fit
+        # grid (σ/fit_scale) to keep the reference's physical smoothing
+        # length (net/registration.py:150 σ=2 at full res).
+        from rpnet_tpu.ops.sampling import interpolate_bilinear
+
+        s = max(1, fit_scale)
+        if s > 1:
+            from rpnet_tpu.ops.sampling import avg_pool2d
+            src_fit = avg_pool2d(affined_src01, s)
+            dst_fit = avg_pool2d(dst01, s)
+        else:
+            src_fit, dst_fit = affined_src01, dst01
+        sig = max(0.5, sigma / s)
         fitfn = partial(fit_demons, iters=demons_iters, lr=lr,
-                        sigma=(sigma, sigma), diffeomorphic=True,
-                        scaling=diffeo_scaling)
-        flow = jax.vmap(lambda a, d: fitfn(a, d)[0])(affined_src01, dst01)
-        warped_both2 = jax.vmap(
-            lambda b, f: demons_warp(b, f, grid_chw, diffeomorphic=True,
-                                     scaling=diffeo_scaling))(warped_both, flow)
+                        sigma=(sig, sig), diffeomorphic=True,
+                        scaling=diffeo_scaling, sampler="matmul")
+        flow_low = jax.vmap(lambda a, d: fitfn(a, d)[0])(src_fit, dst_fit)
+        grid_low = compute_grid((H // s, W // s), dtype=support_imgs.dtype)[0]
+        disp_low = jax.vmap(
+            lambda f: diffeomorphic_2d(f, grid_low, diffeo_scaling,
+                                       sampler="matmul"))(flow_low)
+        disp = interpolate_bilinear(
+            jnp.transpose(disp_low, (0, 2, 3, 1)), (H, W))     # (S, H, W, 2)
+        flow = interpolate_bilinear(
+            jnp.transpose(flow_low, (0, 2, 3, 1)), (H, W))
+        flow = jnp.transpose(flow, (0, 3, 1, 2))               # (S, 2, H, W)
+        coords = jnp.transpose(grid_chw, (1, 2, 0))[None] + disp
+        warped_both2 = grid_sample_matmul_chunked(warped_both, coords)
     warped_lab = warped_both2[..., :1]
     warped_src01 = warped_both2[..., 1:]
 
