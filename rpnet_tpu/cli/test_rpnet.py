@@ -122,10 +122,15 @@ def evaluate(runner: EpisodeRunner, sampler: EpisodeSampler, config: Config):
     # ASSEMBLES its strided shard
     all_picks = [sampler.draw_supports(j) for j in range(n_eps)]
 
+    # device-resident volume cache fast path: eval episodes are pure slice
+    # indexing, so with a spec-capable runner the episode ships as index
+    # vectors and the volumes upload once (EpisodeSpec, episode/pipeline.py)
+    use_spec = getattr(runner, "supports_spec", False)
+
     # NB: per-episode isolation must survive DATA-stage failures too — a
     # plain generator would close on the first raise, turning every later
     # next() into StopIteration (all remaining episodes silently skipped)
-    if config.get("num_workers", 0):
+    if config.get("num_workers", 0) and not use_spec:
         from rpnet_tpu.episode.prefetch import EpisodeFailure, PrefetchingSampler
         iterator = iter(PrefetchingSampler(
             sampler, lookahead=2, workers=int(config["num_workers"]),
@@ -186,9 +191,13 @@ def evaluate(runner: EpisodeRunner, sampler: EpisodeSampler, config: Config):
     for j in my_idxs:
         try:
             with timer.stage("data"):
-                ep = fetch(j)
+                ep = (sampler.sample_spec(j, picks=all_picks[j])
+                      if use_spec else None)
+                if ep is None:
+                    ep = fetch(j)
             with timer.stage("dispatch"):
-                out = runner.dispatch(ep)
+                out = (runner.dispatch_spec(ep, sampler)
+                       if hasattr(ep, "supp_rows") else runner.dispatch(ep))
         except Exception:
             if pending is not None:
                 failures += settle(pending)

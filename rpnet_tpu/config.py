@@ -146,6 +146,11 @@ _DEFAULTS: Dict[str, Any] = {
                                # 0 disables) — eval revisits the same volumes
                                # every run (test_rpnet.py:112-145)
     "io_cache_dir": None,      # where .rawcache files go (default: beside the NRRDs)
+    "device_volume_cache": 16, # DEVICE-resident volume LRU for eval (entries;
+                               # 0 disables): volumes upload once, episodes
+                               # assemble on device by row gather (EpisodeSpec)
+                               # — kills the ~MB/episode host→device upload
+                               # (6× warm CLI, docs/perf_trace_r4.md)
     "use_all_supports": False, # lift the reference's eval support-overwrite defect
     "multishot_fusion": False, # native multi-support mode: register EVERY shot,
                                # fuse prototypes over shots (BASELINE config 3)

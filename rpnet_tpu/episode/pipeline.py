@@ -16,7 +16,8 @@ One compiled program per bucket size, cached.
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from collections import OrderedDict
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -203,6 +204,26 @@ class EpisodeRunner:
                            supp_lab.astype(jnp.float32), qry_img,
                            qry_lab.astype(jnp.float32), mask)
 
+        # device-resident volume cache (eval fast path): (pid, roi) volumes
+        # upload ONCE, episodes assemble on device by row gather — see
+        # EpisodeSpec. LRU-bounded; `device_volume_cache: 0` disables.
+        self._dev_vols: "OrderedDict[Tuple[str, str], Tuple]" = OrderedDict()
+        self._dev_vols_max = int(config.get("device_volume_cache", 16))
+        self.supports_spec = mesh is None and self._dev_vols_max > 0
+
+        # the gather is its OWN tiny jit (pure row take, compiles in <1 s):
+        # its shapes vary per (volume depth, bucket) pair, while the
+        # expensive episode program keeps compiling per BUCKET only (shared
+        # with the host path and the persistent compile cache) — assembled
+        # episodes flow device-to-device into self._jitted
+        def gather_fn(sv, sl, qv, ql, sidx, qidx):
+            return (jnp.take(sv, sidx, axis=0),      # (Sh, P, H, W)
+                    jnp.take(sl, sidx, axis=0),      # uint8 — fn widens
+                    jnp.take(qv, qidx, axis=0),
+                    jnp.take(ql, qidx, axis=0))
+
+        self._jitted_gather = jax.jit(gather_fn) if self.supports_spec else None
+
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -244,6 +265,49 @@ class EpisodeRunner:
         mask = np.zeros((padded,), np.float32)
         mask[:take] = 1.0
         return supp_img, supp_lab, qry_img, qry_lab, mask
+
+    def _device_volume(self, sampler, key):
+        """(pid, roi) → device-resident (img f32, lab uint8) pair, slice axis
+        padded to a multiple of 32 (bounded set of compile shapes)."""
+        hit = self._dev_vols.get(key)
+        if hit is not None:
+            self._dev_vols.move_to_end(key)
+            return hit
+        img, lab = sampler.load_image_and_mask(*key)
+        D = img.shape[0]
+        Dv = -(-D // 32) * 32
+        img_p = np.full((Dv,) + img.shape[1:], -1.0, np.float32)
+        img_p[:D] = img
+        lab_p = np.zeros((Dv,) + lab.shape[1:], np.uint8)
+        lab_p[:D] = lab          # labels are exactly {0, 1} — uint8 is exact
+        pair = (jax.device_put(jnp.asarray(img_p)),
+                jax.device_put(jnp.asarray(lab_p)))
+        self._dev_vols[key] = pair
+        if len(self._dev_vols) > self._dev_vols_max:
+            self._dev_vols.popitem(last=False)
+        return pair
+
+    def dispatch_spec(self, spec, sampler):
+        """Queue an EpisodeSpec episode: volumes from the device cache, slice
+        assembly as an in-program row gather. Host→device traffic per episode
+        is the index vectors (~KB) instead of the assembled slices (~13 MB at
+        256²/bucket 24 — measured 75 ms/episode of tunnel upload, the
+        dominant warm-CLI cost before this path; docs/perf_trace_r4.md)."""
+        Dq = spec.n_slices
+        padded = min(-(-Dq // self.bucket) * self.bucket, self.max_slices)
+        take = min(Dq, padded)
+        sidx = np.zeros((spec.supp_rows.shape[0], padded), np.int32)
+        sidx[:, :take] = spec.supp_rows[:, :take]
+        qidx = np.zeros((padded,), np.int32)
+        qidx[:take] = np.arange(take, dtype=np.int32)
+        mask = np.zeros((padded,), np.float32)
+        mask[:take] = 1.0
+        sv, sl = self._device_volume(sampler, spec.supp_key)
+        qv, ql = self._device_volume(sampler, spec.qry_key)
+        supp_img, supp_lab, qry_img, qry_lab = self._jitted_gather(
+            sv, sl, qv, ql, jnp.asarray(sidx), jnp.asarray(qidx))
+        return self._jitted(self.variables, supp_img, supp_lab,
+                            qry_img, qry_lab, jnp.asarray(mask))
 
     def dispatch(self, ep: Episode):
         """Queue the episode program WITHOUT blocking (jax async dispatch).

@@ -65,6 +65,27 @@ class Episode:
         return self.query_images.shape[0]
 
 
+@dataclasses.dataclass
+class EpisodeSpec:
+    """A device-assemblable eval episode: volume KEYS + slice indices.
+
+    Eval episode assembly is pure indexing (few_shot_reader.py:516-545:
+    support slices repeat per query bin, the query volume feeds through
+    verbatim), so instead of re-uploading ~13 MB of assembled slices per
+    episode through the tunnel, the runner caches each (pid, roi) volume ON
+    DEVICE once and gathers rows in-program — per-episode host→device
+    traffic drops to a few hundred index bytes (round-4 CLI-path work,
+    docs/perf_trace_r4.md).
+    """
+    supp_key: Tuple[str, str]       # (pid, roi) of the winning support volume
+    qry_key: Tuple[str, str]
+    supp_rows: np.ndarray           # (test_shot, Dq) int32 rows into support
+    n_slices: int                   # Dq — query rows are 0..Dq-1
+    class_id: int
+    pid: str
+    supp_pids: List[Tuple[int, int]]
+
+
 def slice_bins(num_support_slices: Sequence[int], num_query_slices: int, k: int):
     """Support/query slice binning (few_shot_reader.py:465-473).
 
@@ -209,6 +230,42 @@ class EpisodeSampler:
         else:
             ep = self._assemble_eval(supports, qry_img, qry_mask)
         return dataclasses.replace(ep, class_id=ci, pid=pid, supp_pids=supp_pids)
+
+    def sample_spec(self, idx: int,
+                    picks: Optional[List[int]] = None) -> Optional["EpisodeSpec"]:
+        """Index-only twin of :meth:`sample` for the reference eval semantics
+        (mode='eval', last-support-wins, single support volume). Returns
+        ``None`` when the episode needs host assembly (train mode,
+        use_all_supports/multishot, or mismatched crop shapes) — callers fall
+        back to :meth:`sample`. Consumes the SAME support-draw RNG stream, so
+        mixing spec and host paths preserves reproducibility."""
+        cfg = self.cfg
+        if (self.mode != "eval" or cfg.get("use_all_supports")
+                or cfg.get("multishot_fusion")):
+            return None
+        ci, di = self.indices[idx]
+        pid = self.data_info[ci][di]["pid"]
+        if picks is None:
+            picks = self.draw_supports(idx)
+        roi = self.classes[ci]
+        supp_pid = self.data_info[ci][picks[-1]]["pid"]   # last support wins
+        s_img, _ = self.load_image_and_mask(supp_pid, roi)
+        q_img, _ = self.load_image_and_mask(pid, roi)
+        if s_img.shape[1:] != q_img.shape[1:]:
+            return None
+        nq = q_img.shape[0]
+        test_shot = cfg.get("test_shot", cfg["n_shot"])
+        k, supp_idx, edges = slice_bins([s_img.shape[0]], nq, cfg["k"])
+        rows = np.zeros((test_shot, nq), np.int32)
+        # the _assemble_eval repeat pattern as an index map
+        # (few_shot_reader.py:516-545 test_shot offsets)
+        for m in range(test_shot):
+            for j in range(k):
+                s, e = int(edges[j]), int(edges[j + 1])
+                offset = 0 if j + m >= k else m
+                rows[m, s:e] = int(supp_idx[0][j + offset])
+        return EpisodeSpec((supp_pid, roi), (pid, roi), rows, nq, ci, pid,
+                           [(ci, i) for i in picks])
 
     # .................................................................. eval
     def _assemble_eval(self, supports, qry_img, qry_mask) -> Episode:

@@ -583,3 +583,70 @@ def test_multiclass_proxy_dataset(tmp_path):
     assert len(sampler) == 2 * len(PROXY_EVAL_CLASSES)
     ep = sampler.sample(0)
     assert ep.query_labels.max() == 1.0
+
+
+def test_device_cache_spec_path_matches_host_assembly(synth, tmp_path):
+    """The device-volume-cache eval path (EpisodeSpec: on-device row gather)
+    must reproduce the host-assembled path's metrics bit-for-bit — gathered
+    rows are the same f32 values, and all metrics are mask-weighted so the
+    differing PAD rows (row-0 copies vs constant fill) cannot leak."""
+    import yaml
+
+    from rpnet_tpu.cli import test_rpnet as cli
+
+    cfg = dict(
+        data_dir=synth["data_dir"], class_csv_dir=synth["class_dir"],
+        eval_set_name=synth["test_csv"], train_set_name=synth["train_csv"],
+        num_slice=32, num_x=48, num_y=48, crop_size=[32, 32],
+        pad_value=-1024, HU_range=[-1024, 3072], n_shot=1, n_way=1, k=4,
+        eval_classes=["Liver"], train_classes=["Spleen"], backbone="UNet",
+        n_iter_refinement=2, n_test_iter_refinement=2,
+        mask_refinement_correlation_radius=2, soft_mask=False,
+        do_deformable=False, reg_affine_iters=4, reg_fit_scale=2,
+        slice_bucket=8, max_slices=16, do_intaug=False, do_elastic=False,
+        n_runs=1, seed=0)
+
+    results = {}
+    for tag, cache in (("spec", 16), ("host", 0)):
+        y = tmp_path / f"{tag}.yml"
+        y.write_text(yaml.safe_dump(dict(
+            cfg, device_volume_cache=cache, out_dir=str(tmp_path / tag))))
+        results[tag] = cli.main(["--yaml", str(y)])
+
+    a, b = results["spec"], results["host"]
+    assert a["episodes"] == b["episodes"]
+    assert a["failed_episodes"] == 0 == b["failed_episodes"]
+    assert a["classes"] == b["classes"]   # bit-identical per-class numbers
+
+
+def test_device_volume_cache_bounded(synth):
+    """The device volume LRU respects its bound."""
+    cfg = Config({"backbone": "UNet", "crop_size": [32, 32],
+                  "n_iter_refinement": 2,
+                  "mask_refinement_correlation_radius": 2,
+                  "reg_affine_iters": 2, "reg_fit_scale": 2,
+                  "slice_bucket": 8, "max_slices": 16,
+                  "device_volume_cache": 2,
+                  "data_dir": synth["data_dir"],
+                  "class_csv_dir": synth["class_dir"],
+                  "num_slice": 32, "num_x": 48, "num_y": 48,
+                  "pad_value": -1024, "HU_range": [-1024, 3072],
+                  "n_shot": 1, "n_way": 1, "k": 4,
+                  "eval_classes": ["Liver", "Spleen"], "seed": 0})
+    import jax.numpy as jnp
+
+    model = model_factory["RP_Net"](cfg, num_iter=2)
+    dummy = (jnp.zeros((1, 1, 1, 32, 32, 1)), jnp.zeros((1, 1, 1, 32, 32)),
+             jnp.ones((1, 1, 1, 32, 32)), jnp.zeros((1, 32, 32, 1)),
+             jnp.zeros((1, 32, 32)))
+    variables = model.init(jax.random.PRNGKey(0), *dummy, train=False)
+    runner = EpisodeRunner(model, variables, cfg)
+    assert runner.supports_spec
+    sampler = EpisodeSampler(synth["data_dir"], synth["test_csv"], cfg,
+                             mode="eval")
+    for j in range(len(sampler)):
+        spec = sampler.sample_spec(j)
+        assert spec is not None
+        runner.finalize(runner.dispatch_spec(spec, sampler), spec,
+                        arrays=False)
+    assert len(runner._dev_vols) <= 2
