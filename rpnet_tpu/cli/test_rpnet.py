@@ -280,7 +280,10 @@ def evaluate_3d(runner, sampler, config):
     for j in my_idxs:
         try:
             supp_img, supp_lab, qry_img, qry_lab, meta = vsampler.sample(j)
-            res = vrunner.run_volume(supp_img, supp_lab, qry_img, qry_lab)
+            res = vrunner.run_volume(supp_img, supp_lab, qry_img, qry_lab,
+                                     sampler=sampler,
+                                     supp_key=meta["supp_key"],
+                                     qry_key=meta["qry_key"])
         except Exception:
             failures += 1
             print(f"{j} VOLUME FAILED — skipping:\n{traceback.format_exc()}")
@@ -447,7 +450,9 @@ def run_eval_protocol(runner, sampler, config: Config, out_dir: str,
     eval_fn = evaluate_3d if config.get("eval_3d") else evaluate
     for i in range(n_runs):
         print(f"{i + 1} / {n_runs}")
+        t_pass = time.time()
         a, f, r, failures = eval_fn(runner, sampler, config)
+        print(f"pass_wall {time.time() - t_pass:.3f}s / {len(sampler)} episodes")
         total_episodes += len(sampler)
         total_failures += failures
         for k in eval_classes:

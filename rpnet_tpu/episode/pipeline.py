@@ -209,7 +209,8 @@ class EpisodeRunner:
         # EpisodeSpec. LRU-bounded; `device_volume_cache: 0` disables.
         self._dev_vols: "OrderedDict[Tuple[str, str], Tuple]" = OrderedDict()
         self._dev_vols_max = int(config.get("device_volume_cache", 16))
-        self.supports_spec = mesh is None and self._dev_vols_max > 0
+        self.supports_spec = self._dev_vols_max > 0
+        self._vol_sharding = None
 
         # the gather is its OWN tiny jit (pure row take, compiles in <1 s):
         # its shapes vary per (volume depth, bucket) pair, while the
@@ -221,8 +222,6 @@ class EpisodeRunner:
                     jnp.take(sl, sidx, axis=0),      # uint8 — fn widens
                     jnp.take(qv, qidx, axis=0),
                     jnp.take(ql, qidx, axis=0))
-
-        self._jitted_gather = jax.jit(gather_fn) if self.supports_spec else None
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -237,6 +236,14 @@ class EpisodeRunner:
             self._in_shardings = (var_sh, sl1, sl1, sl0, sl0, sl0)
             self._jitted = jax.jit(fn, in_shardings=self._in_shardings)
             self.variables = jax.device_put(variables, var_sh)
+            # sharded spec path: volumes replicate across the mesh (each
+            # chip's gather is local), the gather OUTPUT shards exactly like
+            # the main program's inputs so episodes flow device-to-device
+            # with no resharding
+            self._vol_sharding = rep
+            self._jitted_gather = jax.jit(
+                gather_fn, in_shardings=(rep,) * 6,
+                out_shardings=(sl1, sl1, sl0, sl0))
         else:
             # COMMIT the weights to the device once: checkpoint restore hands
             # back numpy leaves, and numpy-leaf jit arguments re-upload the
@@ -245,6 +252,7 @@ class EpisodeRunner:
             # branch's device_put never had this bug)
             self.variables = jax.device_put(variables)
             self._jitted = jax.jit(fn)
+            self._jitted_gather = jax.jit(gather_fn)
 
     def pad(self, ep: Episode):
         Dq = ep.n_slices
@@ -280,8 +288,8 @@ class EpisodeRunner:
         img_p[:D] = img
         lab_p = np.zeros((Dv,) + lab.shape[1:], np.uint8)
         lab_p[:D] = lab          # labels are exactly {0, 1} — uint8 is exact
-        pair = (jax.device_put(jnp.asarray(img_p)),
-                jax.device_put(jnp.asarray(lab_p)))
+        pair = (jax.device_put(img_p, self._vol_sharding),
+                jax.device_put(lab_p, self._vol_sharding))
         self._dev_vols[key] = pair
         if len(self._dev_vols) > self._dev_vols_max:
             self._dev_vols.popitem(last=False)
@@ -299,7 +307,9 @@ class EpisodeRunner:
         sidx = np.zeros((spec.supp_rows.shape[0], padded), np.int32)
         sidx[:, :take] = spec.supp_rows[:, :take]
         qidx = np.zeros((padded,), np.int32)
-        qidx[:take] = np.arange(take, dtype=np.int32)
+        qidx[:take] = (spec.qry_rows[:take]
+                       if getattr(spec, "qry_rows", None) is not None
+                       else np.arange(take, dtype=np.int32))
         mask = np.zeros((padded,), np.float32)
         mask[:take] = 1.0
         sv, sl = self._device_volume(sampler, spec.supp_key)

@@ -80,10 +80,12 @@ class EpisodeSpec:
     supp_key: Tuple[str, str]       # (pid, roi) of the winning support volume
     qry_key: Tuple[str, str]
     supp_rows: np.ndarray           # (test_shot, Dq) int32 rows into support
-    n_slices: int                   # Dq — query rows are 0..Dq-1
+    n_slices: int                   # Dq — query rows default to 0..Dq-1
     class_id: int
     pid: str
     supp_pids: List[Tuple[int, int]]
+    qry_rows: Optional[np.ndarray] = None   # explicit query rows (e.g. a 3D
+                                            # sliding window s..e)
 
 
 def slice_bins(num_support_slices: Sequence[int], num_query_slices: int, k: int):

@@ -22,7 +22,7 @@ import numpy as np
 
 from rpnet_tpu.core.metrics import dice_score_seperate
 from rpnet_tpu.episode.pipeline import EpisodeRunner
-from rpnet_tpu.episode.sampler import Episode
+from rpnet_tpu.episode.sampler import Episode, EpisodeSpec
 
 
 def match_support_slices(n_support: int, n_query: int) -> np.ndarray:
@@ -51,12 +51,24 @@ class Volume3DRunner:
         self.overlap = min(overlap, self.window // 2)
 
     def run_volume(self, support_vol: np.ndarray, support_lab: np.ndarray,
-                   query_vol: np.ndarray, query_lab: np.ndarray) -> VolumeResult:
-        """support_vol/lab: (Ds, H, W); query_vol/lab: (Dq, H, W)."""
+                   query_vol: np.ndarray, query_lab: np.ndarray,
+                   sampler=None, supp_key=None, qry_key=None) -> VolumeResult:
+        """support_vol/lab: (Ds, H, W); query_vol/lab: (Dq, H, W).
+
+        With ``sampler`` + volume keys given and a spec-capable runner, each
+        window ships as an :class:`EpisodeSpec` (volumes resident on device,
+        window = row indices) — upload per window drops from ~2·window·H·W
+        floats to the index vectors. Value-exact: the gathered rows are the
+        same f32 values the host would slice.
+        """
         Dq, H, W = query_vol.shape
         match = match_support_slices(support_vol.shape[0], Dq)
-        supp_img = support_vol[match]
-        supp_lab = support_lab[match]
+        use_spec = (sampler is not None and supp_key is not None
+                    and qry_key is not None
+                    and getattr(self.runner, "supports_spec", False))
+        if not use_spec:
+            supp_img = support_vol[match]
+            supp_lab = support_lab[match]
 
         stride = self.window - self.overlap
         starts = list(range(0, max(Dq - self.overlap, 1), stride))
@@ -74,13 +86,20 @@ class Volume3DRunner:
             out = None
             if s is not None:
                 e = min(s + self.window, Dq)
-                ep = Episode(
-                    support_images=supp_img[None, s:e].astype(np.float32),
-                    support_labels=supp_lab[None, s:e].astype(np.float32),
-                    query_images=query_vol[s:e].astype(np.float32),
-                    query_labels=query_lab[s:e].astype(np.float32),
-                    class_id=0, pid="", supp_pids=[(0, 0)])
-                out = (s, e, ep, self.runner.dispatch(ep))
+                if use_spec:
+                    ep = EpisodeSpec(
+                        supp_key, qry_key, match[None, s:e], e - s,
+                        0, "", [(0, 0)],
+                        qry_rows=np.arange(s, e, dtype=np.int32))
+                    out = (s, e, ep, self.runner.dispatch_spec(ep, sampler))
+                else:
+                    ep = Episode(
+                        support_images=supp_img[None, s:e].astype(np.float32),
+                        support_labels=supp_lab[None, s:e].astype(np.float32),
+                        query_images=query_vol[s:e].astype(np.float32),
+                        query_labels=query_lab[s:e].astype(np.float32),
+                        class_id=0, pid="", supp_pids=[(0, 0)])
+                    out = (s, e, ep, self.runner.dispatch(ep))
             if pending is not None:
                 ps, pe, pep, pout = pending
                 res = self.runner.finalize(pout, pep)
@@ -121,4 +140,6 @@ class Volume3DSampler:
         supp_img, supp_lab = s.load_image_and_mask(supp_pid, s.classes[ci])
         qry_img, qry_lab = s.load_image_and_mask(pid, s.classes[ci])
         return (supp_img, supp_lab, qry_img, qry_lab,
-                {"pid": pid, "supp_pid": supp_pid, "class_id": ci})
+                {"pid": pid, "supp_pid": supp_pid, "class_id": ci,
+                 "supp_key": (supp_pid, s.classes[ci]),
+                 "qry_key": (pid, s.classes[ci])})

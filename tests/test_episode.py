@@ -619,6 +619,63 @@ def test_device_cache_spec_path_matches_host_assembly(synth, tmp_path):
     assert a["classes"] == b["classes"]   # bit-identical per-class numbers
 
 
+def test_device_cache_spec_path_sharded_matches_host(synth, tmp_path):
+    """Same exactness contract under an 8-way data-sharded mesh: volumes
+    replicate, the gather's out_shardings match the episode program's
+    in_shardings (device-to-device, no resharding), so sharded-spec must be
+    bit-identical to sharded-host-assembly."""
+    import yaml
+
+    from rpnet_tpu.cli import test_rpnet as cli
+
+    cfg = dict(
+        data_dir=synth["data_dir"], class_csv_dir=synth["class_dir"],
+        eval_set_name=synth["test_csv"], train_set_name=synth["train_csv"],
+        num_slice=32, num_x=48, num_y=48, crop_size=[32, 32],
+        pad_value=-1024, HU_range=[-1024, 3072], n_shot=1, n_way=1, k=4,
+        eval_classes=["Liver"], train_classes=["Spleen"], backbone="UNet",
+        n_iter_refinement=2, n_test_iter_refinement=2,
+        mask_refinement_correlation_radius=2, soft_mask=False,
+        do_deformable=False, reg_affine_iters=4, reg_fit_scale=2,
+        slice_bucket=8, max_slices=16, do_intaug=False, do_elastic=False,
+        mesh_shape={"data": 8, "model": 1}, n_runs=1, seed=0)
+
+    results = {}
+    for tag, cache in (("spec", 16), ("host", 0)):
+        y = tmp_path / f"{tag}.yml"
+        y.write_text(yaml.safe_dump(dict(
+            cfg, device_volume_cache=cache, out_dir=str(tmp_path / tag))))
+        results[tag] = cli.main(["--yaml", str(y)])
+
+    a, b = results["spec"], results["host"]
+    assert a["episodes"] == b["episodes"]
+    assert a["failed_episodes"] == 0 == b["failed_episodes"]
+    assert a["classes"] == b["classes"]   # bit-identical per-class numbers
+
+
+def test_device_cache_spec_path_3d_matches_host(synth, tmp_path):
+    """eval_3d windows are pure indexing too: the EpisodeSpec window path
+    (qry_rows = the window range, volumes device-resident) must match the
+    host-sliced window path bit-for-bit."""
+    import yaml as pyyaml
+
+    from rpnet_tpu.cli import test_rpnet as cli
+
+    results = {}
+    for tag, cache in (("spec", 16), ("host", 0)):
+        cfg = small_config(synth, n_runs=1, out_dir=str(tmp_path / tag),
+                           eval_3d=True, overlap_3d=2, slice_bucket=8,
+                           max_slices=8, num_workers=0,
+                           device_volume_cache=cache)
+        ypath = str(tmp_path / f"{tag}3d.yml")
+        pyyaml.safe_dump(cfg.to_dict(), open(ypath, "w"))
+        results[tag] = cli.main(["--yaml", ypath])
+
+    a, b = results["spec"], results["host"]
+    assert a["failed_episodes"] == 0 == b["failed_episodes"]
+    assert a["classes"] == b["classes"]   # bit-identical per-class numbers
+
+
 def test_device_volume_cache_bounded(synth):
     """The device volume LRU respects its bound."""
     cfg = Config({"backbone": "UNet", "crop_size": [32, 32],
