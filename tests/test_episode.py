@@ -467,14 +467,20 @@ def test_collate_batch_pads_short_episodes():
 def test_eval_fault_isolation_data_stage(synth, tmp_path):
     """A DATA-stage failure (corrupt volume in sampler.sample) must cost
     exactly ONE episode — a plain generator would close on the raise and turn
-    every later episode into StopIteration (all silently skipped)."""
+    every later episode into StopIteration (all silently skipped).
+
+    Pinned to the host-assembly path (device_volume_cache: 0) so the
+    instrumented ``sample`` is actually the data stage; the EpisodeSpec
+    path's data stage is covered by
+    test_eval_fault_isolation_spec_data_stage."""
     import yaml as pyyaml
 
     from rpnet_tpu.cli import test_rpnet as cli
     from rpnet_tpu.episode.sampler import EpisodeSampler
 
     cfg = small_config(synth, n_runs=1, out_dir=str(tmp_path / "outd"),
-                       num_workers=0)   # direct path (prefetch tested apart)
+                       num_workers=0,   # direct path (prefetch tested apart)
+                       device_volume_cache=0)
     ypath = str(tmp_path / "cfgd.yml")
     with open(ypath, "w") as f:
         pyyaml.safe_dump(cfg.to_dict(), f)
@@ -497,6 +503,43 @@ def test_eval_fault_isolation_data_stage(synth, tmp_path):
     assert results is not None
     assert results["failed_episodes"] == 1
     assert calls["n"] == 3           # every later episode still attempted
+    assert "Liver" in results["classes"]
+
+
+def test_eval_fault_isolation_spec_data_stage(synth, tmp_path):
+    """Same contract on the EpisodeSpec device-cache path (the default):
+    its data stage is load_image_and_mask (called by sample_spec and the
+    device volume cache), and a corrupt volume there must cost exactly ONE
+    episode while every later episode is still attempted."""
+    import yaml as pyyaml
+
+    from rpnet_tpu.cli import test_rpnet as cli
+    from rpnet_tpu.episode.sampler import EpisodeSampler
+
+    cfg = small_config(synth, n_runs=1, out_dir=str(tmp_path / "outs"),
+                       num_workers=0, device_volume_cache=16)
+    ypath = str(tmp_path / "cfgs.yml")
+    with open(ypath, "w") as f:
+        pyyaml.safe_dump(cfg.to_dict(), f)
+
+    calls = {"n": 0}
+    real_load = EpisodeSampler.load_image_and_mask
+
+    def flaky_load(self, *a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected corrupt volume")
+        return real_load(self, *a, **k)
+
+    EpisodeSampler.load_image_and_mask = flaky_load
+    try:
+        results = cli.main(["--yaml", ypath])
+    finally:
+        EpisodeSampler.load_image_and_mask = real_load
+
+    assert results is not None
+    assert results["failed_episodes"] == 1
+    assert calls["n"] > 1            # later episodes still attempted
     assert "Liver" in results["classes"]
 
 
