@@ -61,6 +61,8 @@ def main():
     ap.add_argument("--n-iter", type=int, default=4)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--fit-scale", type=int, default=4)
+    ap.add_argument("--unroll", type=int, default=1,
+                    help="refinement-scan unroll factor (refinement_unroll)")
     ap.add_argument("--corr", default=None, choices=["pallas", "xla", "mxu"],
                     help="correlation impl (sets RPNET_CORR_IMPL)")
     ap.add_argument("--dtype", default="float32",
@@ -91,6 +93,7 @@ def main():
                   "init_lr": 1e-5, "weight_decay": 1e-4,
                   "align_loss_scaler": 1.0,
                   "reg_fit_scale": args.fit_scale,
+                  "refinement_unroll": args.unroll,
                   "compute_dtype": args.dtype})
     model = model_factory["RP_Net"](cfg, align=True, num_iter=args.n_iter)
     opt = make_optimizer(cfg)
@@ -135,7 +138,8 @@ def main():
         "metric": "train_step_seconds",
         "value": step_s,
         "unit": f"s/step (E={E} episodes, k={k}, {H}x{W}, "
-                f"{args.n_iter} ref iters, corr={corr_impl}, dtype={args.dtype})",
+                f"{args.n_iter} ref iters, corr={corr_impl}, dtype={args.dtype}, "
+                f"unroll={args.unroll})",
         "episodes_per_sec": E / step_s,
         "compile_seconds": compile_s,
         "backend": jax.default_backend(),

@@ -197,6 +197,12 @@ def main(argv=None):
     epoch_save = int(config.get("epoch_save", 1))
     steps_per_epoch = max(1, -(-epi_per_epoch // batch_size))
 
+    # refinement_unroll auto (None): fully unroll the train-horizon scan —
+    # measured 0.211 → 0.194 s/step on the full-size step (one-time compile
+    # cost, amortized over the run); YAML value overrides
+    if config.get("refinement_unroll", None) is None:
+        config = config.replace(
+            refinement_unroll=int(config["n_iter_refinement"]))
     model = model_factory[config.get("net", "RP_Net")](
         config, align=True, num_iter=config["n_iter_refinement"])
     optimizer = make_optimizer(config, steps_per_epoch=steps_per_epoch)

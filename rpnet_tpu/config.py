@@ -141,6 +141,15 @@ _DEFAULTS: Dict[str, Any] = {
                                # trained ckpt; bf16 TRAIN measured slower —
                                # docs/perf_trace_r3.md).
     "use_pallas": True,        # use Pallas correlation kernel on TPU
+    "refinement_unroll": None, # lax.scan unroll factor for the refinement
+                               # recurrence. None = auto: n_iter_refinement in
+                               # the train CLI (measured 0.211 → 0.194 s/step,
+                               # +8%, on the full-size train step — XLA fuses
+                               # across unrolled iteration bodies), 1 at eval
+                               # (10-iter eval program: unrolling decuples the
+                               # program body for no measured win and multiplies
+                               # the tunnel compile time). Values-identical to
+                               # f32 reassociation noise (docs/perf_trace_r4.md).
     "use_native_io": True,     # C++ NRRD decoder + raw cache (core/native_cache)
     "volume_cache": 8,         # sampler LRU over preprocessed volumes (entries;
                                # 0 disables) — eval revisits the same volumes

@@ -26,6 +26,7 @@ def build_rpnet(config, align: bool = True, num_iter: int | None = None) -> RPNe
         use_relation_enc=get("use_relation_enc", "relation"),
         align=align,
         use_pallas=bool(get("use_pallas", True)),
+        refine_unroll=int(get("refinement_unroll", None) or 1),
     )
 
 

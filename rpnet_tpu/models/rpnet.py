@@ -105,6 +105,10 @@ class RPNet(nn.Module):
     align: bool = True
     dist_scaler: float = 20.0
     use_pallas: bool = True
+    # XLA unroll factor for the refinement scan (`refinement_unroll` config
+    # key). 1 = plain while loop; num_iter = fully unrolled (lets XLA fuse
+    # across iterations at the cost of program size / compile time)
+    refine_unroll: int = 1
 
     def setup(self):
         if self.backbone == "vgg":
@@ -226,12 +230,14 @@ class RPNet(nn.Module):
                            variable_broadcast="params",
                            variable_carry="batch_stats",
                            split_rngs={"params": False},
-                           length=self.num_iter)
+                           length=self.num_iter,
+                           unroll=max(1, min(self.refine_unroll, self.num_iter)))
         else:
             scan = nn.scan(body,
                            variable_broadcast=["params", "batch_stats"],
                            split_rngs={"params": False},
-                           length=self.num_iter)
+                           length=self.num_iter,
+                           unroll=max(1, min(self.refine_unroll, self.num_iter)))
         qry_mask, (refinement, inters) = scan(self, qry_mask, None)
 
         # final pass ≡ last refinement iteration (see module docstring)

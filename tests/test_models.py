@@ -207,6 +207,40 @@ def test_cre_rot_path_matches_default(rng, monkeypatch):
     assert "kernel" in variables["params"]["q_conv_corr"]["conv"]
 
 
+@pytest.mark.parametrize("train", [False, True])
+def test_rpnet_refine_unroll_value_identical(rng, train):
+    """`refinement_unroll` is a pure XLA scheduling knob (lax.scan unroll
+    factor): the unrolled refinement scan computes the same values as the
+    looped one. Train mode tolerates f32 reassociation noise (~6e-8): XLA
+    fuses differently across unrolled iteration bodies (same effect as the
+    measured loss delta 1.2586 vs 1.2589 on TPU, docs/perf_trace_r4.md)."""
+    inputs = _episode_inputs(rng, B=2)
+    base = RPNet(backbone="UNet", scale=4, num_iter=3, radius=2)
+    unrolled = RPNet(backbone="UNet", scale=4, num_iter=3, radius=2,
+                     refine_unroll=3)
+    variables = base.init(jax.random.PRNGKey(0), *inputs, train=train)
+    kw = dict(train=train, mutable=["batch_stats"] if train else False)
+    a = base.apply(variables, *inputs, **kw)
+    b = unrolled.apply(variables, *inputs, **kw)
+    if train:
+        (a, ma), (b, mb) = a, b
+        for la, lb in zip(jax.tree_util.tree_leaves(ma),
+                          jax.tree_util.tree_leaves(mb)):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a["output"]),
+                                   np.asarray(b["output"]),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a["refinement"]),
+                                   np.asarray(b["refinement"]),
+                                   rtol=1e-5, atol=1e-6)
+    else:
+        np.testing.assert_array_equal(np.asarray(a["output"]),
+                                      np.asarray(b["output"]))
+        np.testing.assert_array_equal(np.asarray(a["refinement"]),
+                                      np.asarray(b["refinement"]))
+
+
 def test_rpnet_train_mode_mutates_bn_and_aligns(rng):
     model = RPNet(backbone="UNet", scale=4, num_iter=2, radius=2, align=True)
     inputs = _episode_inputs(rng, B=2)
