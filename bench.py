@@ -166,6 +166,22 @@ def main():
     PEAK_FLOPS = {"v4": 275e12, "v5e": 197e12, "v5lite": 197e12,
                   "v5p": 459e12, "v6e": 918e12}
 
+    # HBM footprint of the compiled program (deployment sizing: how many
+    # concurrent episode programs / how large a batch fits per chip)
+    hbm_gb = None
+    try:
+        ma = fn.memory_analysis()
+        if isinstance(ma, (list, tuple)):
+            ma = ma[0]
+        temp = float(getattr(ma, "temp_size_in_bytes", 0.0))
+        args_b = float(getattr(ma, "argument_size_in_bytes", 0.0))
+        outp = float(getattr(ma, "output_size_in_bytes", 0.0))
+        hbm_gb = (temp + args_b + outp) / 2**30
+        log(f"HBM: {temp / 2**20:.0f} MiB temp + {args_b / 2**20:.0f} MiB args "
+            f"+ {outp / 2**20:.0f} MiB out = {hbm_gb:.2f} GiB resident")
+    except Exception as e:   # noqa: BLE001 — memory analysis is best-effort
+        log(f"[memory_analysis unavailable: {e}]")
+
     # steady state: queue all episodes, then fetch a scalar from each so the
     # measured wall time covers real device execution (not just dispatch)
     n_disp = -(-args.episodes // EB)
@@ -222,6 +238,7 @@ def main():
                       "achieved_tflops":
                           round(achieved / 1e12, 2) if achieved else None,
                       "mfu_vs_bf16_peak": round(mfu, 4) if mfu else None,
+                      "hbm_resident_gib": round(hbm_gb, 3) if hbm_gb else None,
                       "mode": f"fit_scale={args.fit_scale},{args.sampler}"
                               f",{args.dtype}"
                               + (f",batch{EB}" if EB > 1 else "")
