@@ -102,7 +102,7 @@ def local_correlation_pallas(fm1, fm2, r: int, h_tile: int = 16,
         out_shape=jax.ShapeDtypeStruct((B, d * d, H, W), out_dtype),
         grid=(B, n_htiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),       # fm2p stays off-chip
+            pl.BlockSpec(memory_space=pl.ANY),       # fm2p stays off-chip
             pl.BlockSpec((1, h_tile, W, C), lambda b, h: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -178,7 +178,7 @@ def local_correlation_pallas_mxu(fm1, fm2, r: int, h_tile: int = 16,
         in_specs=[
             pl.BlockSpec((d, W, Wp), lambda b, h: (0, 0, 0),
                          memory_space=pltpu.VMEM),       # band (broadcast)
-            pl.BlockSpec(memory_space=pltpu.ANY),        # fm2p off-chip
+            pl.BlockSpec(memory_space=pl.ANY),        # fm2p off-chip
             pl.BlockSpec((1, h_tile, W, C), lambda b, h: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -251,7 +251,7 @@ def local_correlation_pallas_csub(fm1, fm2, r: int, h_tile: int = 16,
         out_shape=jax.ShapeDtypeStruct((B, d * d, H, W), jnp.float32),
         grid=(B, n_htiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),       # fm2p off-chip
+            pl.BlockSpec(memory_space=pl.ANY),       # fm2p off-chip
             pl.BlockSpec((1, h_tile, C, W), lambda b, h: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -544,7 +544,7 @@ def local_correlation_pallas_rot(fm1, fm2, r: int, h_tile: int = 32,
             out_shape=jax.ShapeDtypeStruct((B // 2, H, 2 * W, 128), out_dtype),
             grid=(B // 2, H // h_tile),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),    # packed fm2 off-chip
+                pl.BlockSpec(memory_space=pl.ANY),    # packed fm2 off-chip
                 pl.BlockSpec((1, h_tile, 2 * W, C), lambda b, h: (b, h, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
@@ -566,7 +566,7 @@ def local_correlation_pallas_rot(fm1, fm2, r: int, h_tile: int = 32,
         out_shape=jax.ShapeDtypeStruct((B, H, W, 128), out_dtype),
         grid=(B, H // h_tile),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),    # fm2p off-chip
+            pl.BlockSpec(memory_space=pl.ANY),    # fm2p off-chip
             pl.BlockSpec((1, h_tile, W, C), lambda b, h: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -742,7 +742,7 @@ def local_correlation_pallas_bwd(g, fm1, fm2, r: int, h_tile: int = 8,
         out_shape=(jax.ShapeDtypeStruct((B, h_tile * n_htiles, W, C), jnp.float32),
                    jax.ShapeDtypeStruct((B, h_tile * n_htiles, W, C), jnp.float32)),
         grid=(B, n_htiles),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=(pl.BlockSpec((1, h_tile, W, C), lambda b, h: (b, h, 0, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((1, h_tile, W, C), lambda b, h: (b, h, 0, 0),
