@@ -268,8 +268,25 @@ def local_correlation_pallas_csub(fm1, fm2, r: int, h_tile: int = 16,
 
 # ---------------------------------------- MXU + rotate-extract (eval path)
 
-def _corr_rot_kernel(fm2_hbm, fm1_ref, out_ref, scratch, sem, *,
-                     H_tile, Wdim, r, scale):
+@functools.lru_cache(maxsize=None)
+def _rot_extract_matrix(Wdim: int, r: int, scale: float) -> np.ndarray:
+    """Constant (d·128, 128) band-placement matrix for the pdot extraction.
+
+    Block dv (rows [dv·128, dv·128+128)) routes the strided-roll's parked
+    lane (Wdim−1+r−dx) mod 128 to output channel dv·d + (d−1−dx) with value
+    ``scale`` — i.e. one 128×128 matmul per dv replaces the scale-multiply +
+    constant roll + iota select of the select extraction. Exactly one
+    nonzero per column, so the matmul is a pure (scaled) gather on the MXU.
+    """
+    d = 2 * r + 1
+    P = np.zeros((d * 128, 128), np.float32)
+    for dv in range(d):
+        for dx in range(d):
+            P[dv * 128 + (Wdim - 1 + r - dx) % 128, dv * d + (d - 1 - dx)] = scale
+    return P
+
+
+def _corr_rot_kernel(fm2_hbm, *args, H_tile, Wdim, r, scale, pdot=False):
     """MXU banded matmul + ONE strided-rotate band extraction.
 
     Replaces _corr_mxu_kernel's band-mask reductions (the VPU cost that sank
@@ -302,7 +319,25 @@ def _corr_rot_kernel(fm2_hbm, fm1_ref, out_ref, scratch, sem, *,
               interior tiles do the plain full-slab copy.
     fm1_ref:  (1, H_tile, W, C)
     out_ref:  (1, H_tile, W, 128) channels-last; lanes d²..127 stay zero
+
+    Two extraction modes after the shared MXU band matmul + strided roll:
+      * select (default, f32-exact): scale-multiply, constant roll to park
+        the d valid lanes at [dv·d, dv·d+d), disjoint-mask select merge.
+      * pdot (``pdot=True``; extra leading ``p_ref`` operand, bf16 output
+        only): ONE tiny 128×128 MXU matmul per dv against the constant
+        band-placement matrix (:func:`_rot_extract_matrix`, scale folded
+        in) + a bf16 add. The main dot emits bf16 directly
+        (``preferred_element_type``), so the roll, the matmul and the add
+        all run at half VPU width and the scale/roll2/select passes vanish.
+        Value contract: for power-of-two ``scale`` (the production C=256 →
+        2⁻⁴ case) rounding the f32 accumulator to bf16 before the exact
+        power-of-two scale is bit-identical to scaling then rounding; for
+        other scales the result differs from select by ≤1 bf16 ulp.
     """
+    if pdot:
+        p_ref, fm1_ref, out_ref, scratch, sem = args
+    else:
+        fm1_ref, out_ref, scratch, sem = args
     d = 2 * r + 1
     b = pl.program_id(0)
     ht = pl.program_id(1)
@@ -355,8 +390,34 @@ def _corr_rot_kernel(fm2_hbm, fm1_ref, out_ref, scratch, sem, *,
 
         fm1 = fm1_ref[0]                    # (Ht, W, C)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (H_tile, Wdim, 128), 2)
     acc_dtype = out_ref.dtype
+
+    if pdot:
+        def step(dv, acc):
+            sub = scratch[pl.ds(dv, H_tile)]    # (Ht, 128, C)
+            # x[hi, w, m] = Σc fm1[h, w, c]·fm2[h+dv-r, W-1-m, c]  (MXU,
+            # f32 accumulate, rounded to bf16 at the output port);
+            # displacement dx ⇔ lane m = (W−1+r)−w−dx
+            x = jax.lax.dot_general(fm1, sub, (((2,), (2,)), ((0,), (0,))),
+                                    preferred_element_type=acc_dtype)
+            # strided roll: right-rotate sublane-row w by w cancels the −w,
+            # parking dx at the constant lane (W−1+r−dx) mod 128
+            x = pltpu.roll(x, shift=0, axis=2, stride=1, stride_axis=1)
+            # band placement as a second (tiny) MXU matmul: one nonzero per
+            # column routes parked lane → channel dv·d+(d−1−dx) and applies
+            # the scale; all other lanes multiply into zero, so the merge
+            # across dv is a plain bf16 add (bands are disjoint)
+            y = jax.lax.dot_general(x, p_ref[pl.ds(dv * 128, 128)],
+                                    (((2,), (0,)), ((), ())),
+                                    preferred_element_type=acc_dtype)
+            return acc + y
+
+        acc = jax.lax.fori_loop(0, d, step,
+                                jnp.zeros((H_tile, Wdim, 128), acc_dtype))
+        out_ref[0] = acc
+        return
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (H_tile, Wdim, 128), 2)
 
     def step(dv, acc):
         sub = scratch[pl.ds(dv, H_tile)]    # (Ht, 128, C)
@@ -558,6 +619,43 @@ def local_correlation_pallas_rot(fm1, fm2, r: int, h_tile: int = 32,
             interpret=interpret,
         )(_pack_pairs(fm2p), _pack_pairs(fm1))
         return _unpack_pairs(out)
+
+    # pdot extraction (round-4 continuation, docs/perf_trace_r4.md "pdot"):
+    # replace the per-dv scale/roll2/select VPU passes with a constant
+    # 128×128 MXU matmul and run the whole extraction at bf16 width (see
+    # _corr_rot_kernel). Measured bit-identical to select on the v5e at the
+    # eval shape and a WASH in time (1.32 ms/call both ways with a clean
+    # N=200 harness — the extraction costs only ~0.19 ms of the call, and
+    # the pdot matmuls save about what their operand setup costs), so the
+    # proven select path stays default; RPNET_ROT_EXTRACT=pdot opts in
+    # (bf16 output only — the bf16-width contract does not hold for f32).
+    mode = os.environ.get("RPNET_ROT_EXTRACT", "")
+    use_pdot = mode == "pdot" and out_dtype == jnp.bfloat16
+    if use_pdot:
+        d2 = d
+        pmat = jnp.asarray(_rot_extract_matrix(W, r, scale), dtype=out_dtype)
+        kernel = functools.partial(_corr_rot_kernel, H_tile=h_tile, Wdim=W,
+                                   r=r, scale=scale, pdot=True)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((B, H, W, 128), out_dtype),
+            grid=(B, H // h_tile),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),    # fm2p off-chip
+                pl.BlockSpec((d2 * 128, 128), lambda b, h: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h_tile, W, C), lambda b, h: (b, h, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, h_tile, W, 128),
+                                   lambda b, h: (b, h, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((h_tile + 2 * r, 128, C), fm2.dtype),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(fm2p, pmat, fm1)
 
     kernel = functools.partial(_corr_rot_kernel, H_tile=h_tile, Wdim=W,
                                r=r, scale=scale)

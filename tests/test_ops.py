@@ -225,6 +225,41 @@ def test_pallas_rot_packed_pairs_matches_xla(rng, monkeypatch):
                                atol=1e-5)
 
 
+def test_pallas_rot_pdot_extraction_matches_select(rng, monkeypatch):
+    """Opt-in pdot extraction (RPNET_ROT_EXTRACT=pdot): ONE constant
+    128×128 band-placement MXU matmul per dv (scale folded in) replaces the
+    scale/roll2/select passes (_corr_rot_kernel pdot branch). Bit-identical
+    to the select extraction for bf16 output with a power-of-two scale
+    (C=64 → 2⁻³; verified bitwise on the v5e too, docs/perf_trace_r4.md),
+    and within bf16 tolerance of the f32 XLA oracle."""
+    from rpnet_tpu.ops.pallas.correlation import (local_correlation_pallas_rot,
+                                                  rot_to_quirk)
+
+    r = 2
+    B, H, W, C = 2, 16, 16, 64
+    f1 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32)).astype(jnp.bfloat16)
+    f2 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32)).astype(jnp.bfloat16)
+    ref = np.asarray(local_correlation(f1, f2, r).astype(jnp.float32))
+
+    monkeypatch.setenv("RPNET_ROT_EXTRACT", "pdot")
+    local_correlation_pallas_rot._clear_cache()
+    out_p = local_correlation_pallas_rot(f1, f2, r, h_tile=8, interpret=True)
+    monkeypatch.setenv("RPNET_ROT_EXTRACT", "select")
+    local_correlation_pallas_rot._clear_cache()
+    out_s = local_correlation_pallas_rot(f1, f2, r, h_tile=8, interpret=True)
+    local_correlation_pallas_rot._clear_cache()
+
+    d = 2 * r + 1
+    assert out_p.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(out_p[..., d * d:]), 0.0)
+    np.testing.assert_array_equal(
+        np.asarray(out_p.astype(jnp.float32)),
+        np.asarray(out_s.astype(jnp.float32)))
+    np.testing.assert_allclose(
+        np.asarray(rot_to_quirk(out_p, r).astype(jnp.float32)), ref,
+        atol=0.05, rtol=0.05)
+
+
 def test_pallas_rot_vmap_folds_episode_axis(rng):
     """vmap of the rot kernel folds the episode axis into the batch grid
     (custom_vmap rule) and matches per-episode application."""
