@@ -332,7 +332,9 @@ def _corr_rot_kernel(fm2_hbm, *args, H_tile, Wdim, r, scale, pdot=False):
         Value contract: for power-of-two ``scale`` (the production C=256 →
         2⁻⁴ case) rounding the f32 accumulator to bf16 before the exact
         power-of-two scale is bit-identical to scaling then rounding; for
-        other scales the result differs from select by ≤1 bf16 ulp.
+        other scales the pre-scale bf16 rounding of the accumulator AND
+        the bf16 rounding of the scale inside the placement matrix compound
+        — expect the result to differ from select by a couple of bf16 ulps.
     """
     if pdot:
         p_ref, fm1_ref, out_ref, scratch, sem = args
@@ -549,12 +551,52 @@ def _unpack_pairs(a):
         .reshape(Bh * 2, H, W2 // 2, C)
 
 
-@functools.partial(jax.jit, static_argnames=("r", "h_tile", "interpret",
-                                             "out_f32", "fm2_reversed"))
 def local_correlation_pallas_rot(fm1, fm2, r: int, h_tile: int = 32,
                                  interpret: bool = False,
                                  out_f32: bool = False,
                                  fm2_reversed: bool = False):
+    """MXU+rotate local correlation → (B, H, W, 128), dy-major dx-reversed.
+
+    Thin non-jit dispatcher: the RPNET_ROT_PACK / RPNET_ROT_EXTRACT env
+    vars are resolved HERE, per call, and passed to the jitted
+    implementation as static arguments — so toggling them between calls
+    retraces correctly instead of silently reusing the first-traced mode
+    (round-4 advisor finding). When ``RPNET_ROT_EXTRACT=pdot`` is set
+    explicitly but cannot take effect (f32 output, or RPNET_ROT_PACK
+    shadowing it), a one-time warning says so. See the implementation's
+    docstring for kernel semantics and the measured numbers.
+    """
+    pack = (fm1.shape[0] % 2 == 0 and 2 * fm1.shape[2] == 128
+            and os.environ.get("RPNET_ROT_PACK", "0") == "1")
+    mode = os.environ.get("RPNET_ROT_EXTRACT", "")
+    out_dtype = jnp.float32 if out_f32 else fm1.dtype
+    pdot = mode == "pdot" and out_dtype == jnp.bfloat16 and not pack
+    if mode == "pdot" and not pdot:
+        _warn_pdot_ignored("RPNET_ROT_PACK=1 takes precedence" if pack else
+                           "output dtype is f32 (the bf16-width value "
+                           "contract does not hold)")
+    return _local_correlation_pallas_rot_impl(
+        fm1, fm2, r, h_tile=h_tile, interpret=interpret, out_f32=out_f32,
+        fm2_reversed=fm2_reversed, pack=pack, pdot=pdot)
+
+
+@functools.lru_cache(maxsize=None)
+def _warn_pdot_ignored(reason: str) -> None:
+    import warnings
+    warnings.warn(
+        f"RPNET_ROT_EXTRACT=pdot requested but ignored: {reason}; "
+        "falling back to the select extraction.", stacklevel=3)
+
+
+@functools.partial(jax.jit, static_argnames=("r", "h_tile", "interpret",
+                                             "out_f32", "fm2_reversed",
+                                             "pack", "pdot"))
+def _local_correlation_pallas_rot_impl(fm1, fm2, r: int, h_tile: int = 32,
+                                       interpret: bool = False,
+                                       out_f32: bool = False,
+                                       fm2_reversed: bool = False,
+                                       pack: bool = False,
+                                       pdot: bool = False):
     """MXU+rotate local correlation → (B, H, W, 128), dy-major dx-reversed.
 
     out[..., dy·d + (d−1−dx)] = local_correlation(...)[..., dx·d+dy] (d=2r+1);
@@ -594,10 +636,9 @@ def local_correlation_pallas_rot(fm1, fm2, r: int, h_tile: int = 32,
     # (_corr_rot2_kernel). Verdict: NEGATIVE end-to-end — kernel-only time is
     # a wash (the kernel is extraction/DMA-bound, not MXU-stream-bound) and
     # the XLA-side pair transposes cost ~0.8 ms/call, so bench drops 11.1 →
-    # 10.9 eps/s. Kept opt-in (RPNET_ROT_PACK=1) as the measured record.
-    use_pack = (B % 2 == 0 and 2 * W == 128
-                and os.environ.get("RPNET_ROT_PACK", "0") == "1")
-    if use_pack:
+    # 10.9 eps/s. Kept opt-in (RPNET_ROT_PACK=1, resolved by the dispatcher
+    # above into the static ``pack`` arg) as the measured record.
+    if pack:
         kernel2 = functools.partial(_corr_rot2_kernel, H_tile=h_tile, Wdim=W,
                                     r=r, scale=scale)
         out = pl.pallas_call(
@@ -628,10 +669,9 @@ def local_correlation_pallas_rot(fm1, fm2, r: int, h_tile: int = 32,
     # N=200 harness — the extraction costs only ~0.19 ms of the call, and
     # the pdot matmuls save about what their operand setup costs), so the
     # proven select path stays default; RPNET_ROT_EXTRACT=pdot opts in
-    # (bf16 output only — the bf16-width contract does not hold for f32).
-    mode = os.environ.get("RPNET_ROT_EXTRACT", "")
-    use_pdot = mode == "pdot" and out_dtype == jnp.bfloat16
-    if use_pdot:
+    # (bf16 output only — the bf16-width contract does not hold for f32;
+    # resolved by the dispatcher above into the static ``pdot`` arg).
+    if pdot:
         d2 = d
         pmat = jnp.asarray(_rot_extract_matrix(W, r, scale), dtype=out_dtype)
         kernel = functools.partial(_corr_rot_kernel, H_tile=h_tile, Wdim=W,
@@ -676,6 +716,13 @@ def local_correlation_pallas_rot(fm1, fm2, r: int, h_tile: int = 32,
         ],
         interpret=interpret,
     )(fm2p, fm1)
+
+
+# Back-compat shim: callers used to clear the jit cache to force a re-read
+# of the mode env vars; the dispatcher now resolves them per call (they are
+# static args of the impl), so this only forwards to the impl's cache.
+local_correlation_pallas_rot._clear_cache = (
+    _local_correlation_pallas_rot_impl._clear_cache)
 
 
 @functools.lru_cache(maxsize=None)

@@ -260,6 +260,49 @@ def test_pallas_rot_pdot_extraction_matches_select(rng, monkeypatch):
         atol=0.05, rtol=0.05)
 
 
+def test_pallas_rot_env_modes_resolve_per_call(rng, monkeypatch):
+    """Round-4 advisor findings: (a) the mode env vars are resolved by a
+    non-jit dispatcher per call, so toggling them between calls takes effect
+    WITHOUT clearing any jit cache; (b) an explicit RPNET_ROT_EXTRACT=pdot
+    that cannot take effect (f32 output) emits a one-time warning instead of
+    being silently ignored."""
+    import warnings
+
+    from rpnet_tpu.ops.pallas import correlation as pc
+
+    r = 2
+    B, H, W, C = 2, 8, 8, 16
+    f1 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32)).astype(jnp.bfloat16)
+    f2 = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32)).astype(jnp.bfloat16)
+
+    # (a) select first, then pdot, with NO cache clears in between — the
+    # bf16 power-of-two-scale contract makes them bit-identical, so assert
+    # the dispatcher actually switched by checking the impl's static arg
+    # resolution instead: wrap the jitted impl and record the pdot flag.
+    seen = []
+    orig = pc._local_correlation_pallas_rot_impl
+
+    def spy(*args, **kw):
+        seen.append(kw.get("pdot"))
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(pc, "_local_correlation_pallas_rot_impl", spy)
+    monkeypatch.setenv("RPNET_ROT_EXTRACT", "select")
+    pc.local_correlation_pallas_rot(f1, f2, r, h_tile=8, interpret=True)
+    monkeypatch.setenv("RPNET_ROT_EXTRACT", "pdot")
+    pc.local_correlation_pallas_rot(f1, f2, r, h_tile=8, interpret=True)
+    assert seen == [False, True]
+
+    # (b) pdot requested but out_f32 forces f32 output → warning, not silence
+    pc._warn_pdot_ignored.cache_clear()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        pc.local_correlation_pallas_rot(f1, f2, r, h_tile=8, interpret=True,
+                                        out_f32=True)
+    assert any("pdot" in str(x.message) for x in w)
+    assert seen[-1] is False
+
+
 def test_pallas_rot_vmap_folds_episode_axis(rng):
     """vmap of the rot kernel folds the episode axis into the batch grid
     (custom_vmap rule) and matches per-episode application."""
