@@ -33,6 +33,8 @@ def main():
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    from rpnet_tpu.utils.device import maybe_enable_compilation_cache
+    maybe_enable_compilation_cache()
     import jax.numpy as jnp
 
     from rpnet_tpu.config import Config

@@ -67,6 +67,8 @@ def main():
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    from rpnet_tpu.utils.device import maybe_enable_compilation_cache
+    maybe_enable_compilation_cache()
     import yaml as pyyaml
 
     from rpnet_tpu.cli import test_rpnet as eval_cli
