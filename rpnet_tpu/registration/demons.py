@@ -52,14 +52,17 @@ def diffeomorphic_2d(displacement, grid_chw, scaling: int = 10,
     grid_hwc = jnp.transpose(grid_chw, (1, 2, 0))  # (H, W, 2)
     d = displacement / (2.0 ** scaling)
 
-    def body(d, _):
+    # Statically unrolled (scaling is a compile-time int, typically 10): as a
+    # lax.scan under the demons fit's value_and_grad, each trip's residuals
+    # were stacked via dynamic-update-slice and the backward ran as a nested
+    # while — profiled at ~450 ms/episode of pure bookkeeping inside the
+    # 50-iteration fit (docs/perf_trace_r5.md session 3). Straight-line code
+    # computes the identical op sequence with named intermediates instead.
+    for _ in range(scaling):
         d_img = jnp.transpose(d, (1, 2, 0))[None]        # (1, H, W, 2) as image
         coords = (jnp.transpose(d, (1, 2, 0)) + grid_hwc)[None]  # sample coords
         sampled = _sample(d_img, coords, sampler)[0]
         d = d + jnp.transpose(sampled, (2, 0, 1))
-        return d, None
-
-    d, _ = jax.lax.scan(body, d, None, length=scaling)
     return d
 
 
