@@ -61,6 +61,16 @@ def main():
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler device trace of the timed "
                          "loop into DIR and print the top-op summary")
+    ap.add_argument("--refinement-unroll", type=int, default=10,
+                    help="lax.scan unroll for the 10-iteration refinement "
+                         "loop (the `refinement_unroll` config key). Eval is "
+                         "not differentiated, so runtime is a wash (11.40 vs "
+                         "11.35 eps/s measured) — the default is fully "
+                         "unrolled because XLA's cost_analysis counts a "
+                         "while BODY once regardless of trip count, which "
+                         "under-reported FLOPs/episode (5763 vs the true "
+                         "8557 GFLOP) and thus MFU for rounds 2-4; see "
+                         "docs/perf_trace_r5.md session 4")
     ap.add_argument("--batch-episodes", type=int, default=1,
                     help="episodes per dispatch (vmapped program): >1 "
                          "amortizes the per-dispatch host gap and batches "
@@ -88,7 +98,8 @@ def main():
     Dq = args.slices
     cfg = Config({"backbone": "UNet", "crop_size": [H, W],
                   "n_iter_refinement": args.refine_iters,
-                  "mask_refinement_correlation_radius": args.radius})
+                  "mask_refinement_correlation_radius": args.radius,
+                  "refinement_unroll": args.refinement_unroll})
     model = model_factory["RP_Net"](cfg, num_iter=args.refine_iters)
 
     dummy = (jnp.zeros((1, 1, 1, H, W, 1)), jnp.zeros((1, 1, 1, H, W)),
