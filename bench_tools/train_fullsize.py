@@ -70,6 +70,12 @@ def main():
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="jax.profiler trace the timed steps into DIR and "
                          "print the top device ops")
+    ap.add_argument("--do-deformable", action="store_true",
+                    help="enable the demons registration stage inside the "
+                         "train program (50 NCC iters + diffeo ×10 after "
+                         "the affine fit, few_shot_reader.py:147-162 "
+                         "semantics) — the reference's example.yml:101 "
+                         "defaults it off")
     args = ap.parse_args()
     if args.corr:
         os.environ["RPNET_CORR_IMPL"] = args.corr
@@ -91,7 +97,8 @@ def main():
     cfg = Config({"backbone": "UNet", "crop_size": [H, W], "k": k,
                   "n_iter_refinement": args.n_iter,
                   "mask_refinement_correlation_radius": 5,
-                  "reg_affine_iters": 50, "do_deformable": False,
+                  "reg_affine_iters": 50,
+                  "do_deformable": bool(args.do_deformable),
                   "init_lr": 1e-5, "weight_decay": 1e-4,
                   "align_loss_scaler": 1.0,
                   "reg_fit_scale": args.fit_scale,
@@ -141,13 +148,15 @@ def main():
         "value": step_s,
         "unit": f"s/step (E={E} episodes, k={k}, {H}x{W}, "
                 f"{args.n_iter} ref iters, corr={corr_impl}, dtype={args.dtype}, "
-                f"unroll={args.unroll})",
+                f"unroll={args.unroll}"
+                + (", demons50" if args.do_deformable else "") + ")",
         "episodes_per_sec": E / step_s,
         "compile_seconds": compile_s,
         "backend": jax.default_backend(),
     }
     print(json.dumps(result))
-    with open(OUT, "w") as f:
+    out = OUT.replace(".json", "_demons.json") if args.do_deformable else OUT
+    with open(out, "w") as f:
         json.dump(result, f, indent=2)
 
 
