@@ -63,6 +63,9 @@ def main():
     ap.add_argument("--slices", type=int, default=8,
                     help="2D slices per step (lgca_slices)")
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="jax.profiler trace the timed steps into DIR and "
+                         "print the top device ops")
     args = ap.parse_args()
 
     import jax
@@ -117,12 +120,22 @@ def main():
           f"B={args.slices}]")
 
     times = []
-    for i in range(args.steps):
-        t0 = time.time()
-        state, metrics = step(state, batch)
-        loss = float(metrics["loss"])        # fetch
-        times.append(time.time() - t0)
-        print(f"step {i + 1}: {times[-1]:.3f}s loss {loss:.4f}")
+    import contextlib
+    ctx = contextlib.nullcontext()
+    if args.profile:
+        from rpnet_tpu.utils.profiling import trace
+        ctx = trace(args.profile)
+    with ctx:
+        for i in range(args.steps):
+            t0 = time.time()
+            state, metrics = step(state, batch)
+            loss = float(metrics["loss"])        # fetch
+            times.append(time.time() - t0)
+            print(f"step {i + 1}: {times[-1]:.3f}s loss {loss:.4f}")
+    if args.profile:
+        from rpnet_tpu.utils.profiling import summarize_trace
+        for name, ms, n in summarize_trace(args.profile, top=25):
+            print(f"{ms / args.steps:9.2f} ms/step {n:5d}x  {name[:90]}")
 
     step_s = float(np.median(times))
     result = {
